@@ -1,0 +1,96 @@
+"""Runtime configuration for strided_tpu.
+
+TPU-native analog of the reference's runtime config layer
+(`/root/reference/src/Strided.jl:18-52`): the reference keeps two module-level
+knobs (`_NTHREADS`, `_use_threaded_mul`) plus two hard-coded tuning constants
+(`MINTHREADLENGTH = 1<<15` elements at `src/mapreduce.jl:141`,
+`BLOCKMEMORYSIZE = 1<<15` bytes at `src/mapreduce.jl:462`). Here the tuning
+constants become TPU-hardware ones (VMEM budget instead of L1, (sublane, lane)
+tile alignment instead of cache lines), and the toggles select execution paths
+(Pallas kernels vs plain-XLA lowering, MXU matmul vs generic kernel).
+
+All values can be overridden via environment variables (prefix ``STRIDED_TPU_``)
+or at runtime through :func:`set_config` / :func:`get_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(f"STRIDED_TPU_{name}")
+    return int(v) if v is not None else default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(f"STRIDED_TPU_{name}")
+    if v is None:
+        return default
+    return v.lower() not in ("0", "false", "no", "off")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen (hashable) configuration consulted by the planner and executors.
+
+    Mirrors the *roles* of the reference config (`src/Strided.jl:18-52`):
+
+    - ``vmem_budget_bytes``: analog of ``BLOCKMEMORYSIZE`` (L1 size model,
+      `src/mapreduce.jl:462`) — total per-core VMEM footprint the tile solver
+      is allowed to use across all operand tiles.
+    - ``min_pallas_elements``: analog of ``MINTHREADLENGTH``
+      (`src/mapreduce.jl:141`) — below this many output elements the Pallas
+      path is skipped and plain XLA lowering is used (kernel launch overhead
+      dominates, just as thread-spawn overhead does in the reference).
+    - ``use_pallas``: master toggle for the Pallas kernel engine (analog of
+      ``enable_threads``/``disable_threads``, `src/Strided.jl:34-35` — the
+      reference's fast path on/off switch).
+    - ``use_mxu``: analog of ``_use_threaded_mul`` (`src/Strided.jl:37-48`) —
+      routes matmul through `lax.dot_general` (MXU) when eligible instead of
+      the generic strided-reduce kernel.
+    """
+
+    # VMEM is ~16 MiB/core on v4/v5; leave headroom for double buffering and
+    # compiler-managed spills.
+    vmem_budget_bytes: int = _env_int("VMEM_BUDGET_BYTES", 8 * 1024 * 1024)
+    min_pallas_elements: int = _env_int("MIN_PALLAS_ELEMENTS", 1 << 15)
+    use_pallas: bool = _env_bool("USE_PALLAS", True)
+    use_mxu: bool = _env_bool("USE_MXU", True)
+    # Lane count is 128 on all TPU generations; sublane count for f32 is 8.
+    lane: int = 128
+    sublane: int = 8
+    # Interpret mode for Pallas kernels (CI / CPU debugging).
+    interpret: bool = _env_bool("INTERPRET", False)
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs) -> Config:
+    """Replace fields of the global config; returns the new config."""
+    global _config
+    _config = dataclasses.replace(_config, **kwargs)
+    return _config
+
+
+def enable_pallas() -> None:
+    set_config(use_pallas=True)
+
+
+def disable_pallas() -> None:
+    set_config(use_pallas=False)
+
+
+def enable_mxu() -> None:
+    set_config(use_mxu=True)
+
+
+def disable_mxu() -> None:
+    set_config(use_mxu=False)
