@@ -1,0 +1,159 @@
+"""Broadcast front-end: numpy-style broadcasting lowered into one fused call.
+
+Analog of the reference's broadcast integration
+(`/root/reference/src/broadcast.jl`): where Julia's dot-syntax builds a
+``Broadcasted`` tree that ``copyto!`` flattens into a ``CaptureArgs`` closure
+over the strided leaves (`/root/reference/src/broadcast.jl:27-98`), here JAX
+tracing *is* the fusion mechanism — the user hands us ``f`` directly and we
+lower every operand into the iteration space with the same stride-0
+promotion trick as the reference's ``promoteshape``
+(`/root/reference/src/broadcast.jl:50-65`): size-1 (or missing leading) dims
+get stride 0, so the kernel revisits the same element instead of copying.
+
+Scalar (non-array) arguments are closed over in argument order, mirroring
+``CaptureArgs``/``Arg`` consumption (`/root/reference/src/broadcast.jl:67-98`).
+
+Python operators on :class:`StridedView` (``+ - * / **
+ comparisons``) route
+through :func:`sbroadcast`, giving the reference's ``@strided B .= ...``
+experience without a macro.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .view import StridedView, StridedLayoutError, strided, broadcast_to
+from .mapreduce import fused_mapreduce
+from .regularize import materialize
+
+__all__ = ["sbroadcast", "sbroadcast_into", "broadcast_views"]
+
+
+def _broadcast_shape(*shapes):
+    return jnp.broadcast_shapes(*shapes)
+
+
+def broadcast_views(shape, views):
+    """Promote each view to ``shape`` with stride-0 broadcast dims
+    (``promoteshape``, `/root/reference/src/broadcast.jl:50-65`)."""
+    out = []
+    for v in views:
+        if v.shape == tuple(shape):
+            out.append(v)
+        else:
+            # prepend size-1 dims, then stride-0 broadcast
+            if v.ndim < len(shape):
+                v = StridedView(
+                    v.parent,
+                    (1,) * (len(shape) - v.ndim) + v.shape,
+                    (0,) * (len(shape) - v.ndim) + v.strides,
+                    v.offset,
+                    v.conj,
+                )
+            out.append(broadcast_to(v, shape))
+    return out
+
+
+def _split_args(args):
+    """Split mixed args into (views, rebuild) where rebuild(arrays) restores
+    the full argument list with scalars in place — the CaptureArgs analog."""
+    views = []
+    slots = []  # 'v' -> next view, otherwise the literal value
+    for a in args:
+        if isinstance(a, StridedView):
+            views.append(a)
+            slots.append(None)
+        elif isinstance(a, (jax.Array, np.ndarray)) and getattr(a, "ndim", 0) > 0:
+            views.append(strided(a))
+            slots.append(None)
+        else:
+            slots.append(a)
+
+    def rebuild(arrays):
+        it = iter(arrays)
+        return [next(it) if s is None else s for s in slots]
+
+    return views, rebuild
+
+
+def sbroadcast(f: Callable, *args) -> StridedView:
+    """Allocating fused broadcast: ``f.(args...)`` in reference terms."""
+    views, rebuild = _split_args(args)
+    if not views:
+        return strided(jnp.asarray(f(*args)))
+    shape = _broadcast_shape(*[v.shape for v in views])
+    bviews = broadcast_views(shape, views)
+    # Result dtype via abstract eval on scalars.
+    scal = [jax.ShapeDtypeStruct((), v.dtype) for v in views]
+    rdt = jax.eval_shape(lambda *a: f(*rebuild(list(a))), *scal).dtype
+    out = strided(jnp.zeros(shape, rdt))
+    g = lambda *arrays: f(*rebuild(list(arrays)))
+    if math.prod(shape) == 0:
+        return out
+    return fused_mapreduce(g, None, None, shape, out, bviews)
+
+
+def sbroadcast_into(out, f: Callable, *args) -> StridedView:
+    """In-place fused broadcast: ``out .= f.(args...)``."""
+    out = out if isinstance(out, StridedView) else strided(out)
+    views, rebuild = _split_args(args)
+    shape = tuple(out.shape)
+    bshape = _broadcast_shape(shape, *[v.shape for v in views])
+    if tuple(bshape) != shape:
+        raise StridedLayoutError(
+            f"broadcast result shape {bshape} does not match output {shape}"
+        )
+    bviews = broadcast_views(shape, views)
+    g = lambda *arrays: f(*rebuild(list(arrays)))
+    if math.prod(shape) == 0:
+        return out
+    return fused_mapreduce(g, None, None, shape, out, bviews)
+
+
+# ---------------------------------------------------------------------------
+# operator overloads on StridedView (eager fused broadcast, like the
+# reference's dot-syntax over StridedViews)
+# ---------------------------------------------------------------------------
+
+
+def _binop(f):
+    def fwd(self, other):
+        return sbroadcast(f, self, other)
+
+    def rev(self, other):
+        return sbroadcast(f, other, self)
+
+    return fwd, rev
+
+
+for _name, _f in [
+    ("add", jnp.add),
+    ("sub", jnp.subtract),
+    ("mul", jnp.multiply),
+    ("truediv", jnp.true_divide),
+    ("pow", jnp.power),
+    ("mod", jnp.mod),
+]:
+    _fwd, _rev = _binop(_f)
+    setattr(StridedView, f"__{_name}__", _fwd)
+    setattr(StridedView, f"__r{_name}__", _rev)
+
+for _name, _f in [
+    ("lt", jnp.less),
+    ("le", jnp.less_equal),
+    ("gt", jnp.greater),
+    ("ge", jnp.greater_equal),
+]:
+    setattr(StridedView, f"__{_name}__", _binop(_f)[0])
+
+StridedView.__neg__ = lambda self: sbroadcast(jnp.negative, self)
+StridedView.__abs__ = lambda self: sbroadcast(jnp.abs, self)
+StridedView.__array__ = lambda self, dtype=None: np.asarray(
+    materialize(self), dtype=dtype
+)

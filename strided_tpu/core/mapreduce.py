@@ -1,0 +1,346 @@
+"""Fused multi-operand map / reduce engine — the heart of the framework.
+
+TPU-native analog of the reference's kernel engine
+(`/root/reference/src/mapreduce.jl`). The central primitive is
+:func:`fused_mapreduce`, mirroring ``_mapreducedim!``
+(`/root/reference/src/mapreduce.jl:86-96`) including its two key encodings:
+
+- **Reduction dims are output dims with stride 0** — the output view is
+  lazily reshaped so reduced dims have stride 0 and the kernel accumulates
+  into the same output element (`/root/reference/src/mapreduce.jl:64-70`).
+- **``initop`` is applied exactly once per output element** before the first
+  accumulation — this is how gemm-style ``β*C + ...`` semantics thread
+  through the engine (`/root/reference/src/mapreduce.jl:351-423`,
+  `/root/reference/src/linalg.jl:144-159`).
+
+Execution is dispatched to one of two backends:
+
+- the **XLA path** (this module): materialize the lazy operands (each is a
+  fusible slice/reshape/transpose recipe, see ``regularize.py``), apply the
+  traced ``f``, reduce with ``op`` — XLA fuses the whole thing into one pass
+  over HBM, which replaces the reference's fused ``@generated`` loop nest
+  (`/root/reference/src/mapreduce.jl:229-425`);
+- the **Pallas path** (``executor_pallas.py``): an explicitly tiled kernel
+  driven by the planner, used when layouts are regular and sizes are large
+  (the analog of the reference's block+thread scheduler engaging above
+  ``MINTHREADLENGTH``).
+"""
+
+from __future__ import annotations
+
+import builtins
+import math
+import operator
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .view import StridedView, StridedLayoutError, strided, broadcast_to, sreshape
+from .regularize import materialize, scatter_into
+from ..config import get_config
+
+__all__ = [
+    "fused_mapreduce",
+    "smap",
+    "map_into",
+    "copy_into",
+    "permutedims_into",
+    "adjoint_into",
+    "conj_into",
+    "sreduce",
+    "sreduce_dims",
+    "mapreducedim_into",
+    "reduce_identity",
+]
+
+
+# ---------------------------------------------------------------------------
+# reduction-op identity registry
+# ---------------------------------------------------------------------------
+# Mirrors `_init_reduction!`'s table of known identity elements for
+# `+ * min max & |` (`/root/reference/src/mapreduce.jl:182-191`). Ops not in
+# the table fall back to a sequential fold (the reference *errors* for them
+# under threading; we can always fold sequentially inside one program).
+
+
+def reduce_identity(op: Callable, dtype) -> Optional[jax.Array]:
+    if op in (operator.add, jnp.add):
+        return jnp.zeros((), dtype)
+    if op in (operator.mul, jnp.multiply):
+        return jnp.ones((), dtype)
+    if op is jnp.minimum:
+        if jnp.issubdtype(dtype, jnp.floating):
+            return jnp.array(jnp.inf, dtype)
+        return jnp.array(jnp.iinfo(dtype).max, dtype)
+    if op is jnp.maximum:
+        if jnp.issubdtype(dtype, jnp.floating):
+            return jnp.array(-jnp.inf, dtype)
+        return jnp.array(jnp.iinfo(dtype).min, dtype)
+    if op in (jnp.logical_and,):
+        return jnp.array(True, dtype)
+    if op in (jnp.logical_or,):
+        return jnp.array(False, dtype)
+    if op in (operator.and_, jnp.bitwise_and):
+        return jnp.array(-1, dtype)  # all ones
+    if op in (operator.or_, jnp.bitwise_or):
+        return jnp.zeros((), dtype)
+    return None
+
+
+def _reduce_vals(op: Callable, vals: jax.Array, axes: Tuple[int, ...]) -> jax.Array:
+    """Reduce ``vals`` over ``axes`` with binary ``op`` (keepdims=False).
+
+    Known ops use ``lax.reduce`` (tree reduction, XLA-fused); unknown ops use
+    a sequential fold seeded by the first slice — no identity needed. The
+    reference makes the same split: known identities thread, unknown ops run
+    serially (`/root/reference/src/mapreduce.jl:182-191`)."""
+    ident = reduce_identity(op, vals.dtype)
+    if ident is not None:
+        return lax.reduce(vals, ident, lambda a, b: op(a, b), axes)
+    # Sequential fold: move reduce axes last, flatten, scan.
+    keep = [i for i in range(vals.ndim) if i not in axes]
+    perm = keep + list(axes)
+    v = jnp.transpose(vals, perm)
+    ksh = v.shape[: len(keep)]
+    v = v.reshape(ksh + (-1,))
+    k = v.shape[-1]
+    if k == 0:
+        raise StridedLayoutError(
+            "cannot reduce over empty dims with an op of unknown identity"
+        )
+    acc0 = v[..., 0]
+
+    def body(acc, x):
+        return op(acc, x), None
+
+    acc, _ = lax.scan(body, acc0, jnp.moveaxis(v[..., 1:], -1, 0))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# the central fused primitive
+# ---------------------------------------------------------------------------
+
+
+def _as_view(x) -> StridedView:
+    return x if isinstance(x, StridedView) else strided(x)
+
+
+def fused_mapreduce(
+    f: Callable,
+    op: Optional[Callable],
+    initop: Optional[Callable],
+    dims: Tuple[int, ...],
+    out: StridedView,
+    ins: Sequence[StridedView],
+) -> StridedView:
+    """``out[I] = op(initop(out[I]), fold_op over reduced dims of f(ins[I]))``.
+
+    Direct analog of ``_mapreducedim!`` (`/root/reference/src/mapreduce.jl:86-96`):
+    ``dims`` is the full logical iteration space; reduction dims are exactly
+    those where ``out`` has stride 0 and size > 1 (the reference encoding);
+    input broadcast dims are input strides 0. ``op=None`` means pure map.
+    Returns ``out`` with its (functionally) updated parent buffer.
+    """
+    dims = tuple(int(d) for d in dims)
+    out = _as_view(out)
+    ins = [_as_view(v) for v in ins]
+    for v in ins:
+        if tuple(v.shape) != dims:
+            raise StridedLayoutError(f"input shape {v.shape} != iteration dims {dims}")
+    if tuple(out.shape) != dims:
+        raise StridedLayoutError(f"output shape {out.shape} != iteration dims {dims}")
+
+    # Size-0 iteration space: only initop applies (mirror
+    # `_mapreducedim!`'s size-0 handling, /root/reference/src/mapreduce.jl:86-96).
+    red = tuple(i for i in range(len(dims)) if out.strides[i] == 0 and dims[i] != 1)
+    if any(d == 0 for d in dims):
+        if initop is None:
+            return out
+        if any(dims[i] == 0 for i in red):
+            # reducing over an empty dim: every output element gets initop
+            out_read = _squeeze_view(out, red)
+            old = materialize(out_read)
+            new_parent = scatter_into(out_read, initop(old))
+            return StridedView(new_parent, out.shape, out.strides, out.offset, out.conj)
+        return out  # empty kept dim: no output elements at all
+
+    # Try the Pallas fast path first (large, regular layouts).
+    from . import executor_pallas
+
+    res = executor_pallas.try_fused_mapreduce(f, op, initop, dims, out, ins)
+    if res is not None:
+        return res
+
+    return _xla_fused_mapreduce(f, op, initop, dims, out, ins, red)
+
+
+def _squeeze_view(out: StridedView, red: Tuple[int, ...]) -> StridedView:
+    """Output view with reduction dims collapsed to size 1 (stride already 0)."""
+    shape = tuple(1 if i in red else d for i, d in enumerate(out.shape))
+    return StridedView(out.parent, shape, out.strides, out.offset, out.conj)
+
+
+def _xla_fused_mapreduce(f, op, initop, dims, out, ins, red) -> StridedView:
+    in_arrs = [materialize(v) for v in ins]
+    vals = f(*in_arrs) if in_arrs else f()
+    vals = jnp.asarray(vals)
+    if vals.shape != dims:
+        vals = jnp.broadcast_to(vals, dims)
+
+    out_read = _squeeze_view(out, red)
+    if op is None:
+        new_parent = scatter_into(out_read, vals.astype(out.dtype))
+        return StridedView(new_parent, out.shape, out.strides, out.offset, out.conj)
+
+    partial_ = _reduce_vals(op, vals, red) if red else vals
+    # partial_ has kept dims only; reshape to out_read's (1-padded) shape.
+    partial_ = partial_.reshape(out_read.shape)
+    old = materialize(out_read)
+    seed = initop(old) if initop is not None else old
+    final = op(seed.astype(partial_.dtype), partial_)
+    new_parent = scatter_into(out_read, final.astype(out.dtype))
+    return StridedView(new_parent, out.shape, out.strides, out.offset, out.conj)
+
+
+# ---------------------------------------------------------------------------
+# user-facing façades (analog of /root/reference/src/mapreduce.jl:1-96)
+# ---------------------------------------------------------------------------
+
+
+def _check_same_shape(views):
+    shapes = {tuple(v.shape) for v in views}
+    if len(shapes) > 1:
+        raise StridedLayoutError(f"shape mismatch across operands: {shapes}")
+
+
+def map_into(out, f: Callable, *ins) -> StridedView:
+    """``out .= f.(ins...)`` — analog of ``Base.map!``
+    (`/root/reference/src/mapreduce.jl:38-53`). Shapes must match exactly."""
+    out = _as_view(out)
+    views = [_as_view(v) for v in ins]
+    _check_same_shape([out, *views])
+    if out.size == 0:
+        return out
+    return fused_mapreduce(f, None, None, out.shape, out, views)
+
+
+def smap(f: Callable, *ins) -> StridedView:
+    """Allocating map with dtype promotion — analog of ``Base.map``
+    (`/root/reference/src/mapreduce.jl:32-36`)."""
+    views = [_as_view(v) for v in ins]
+    _check_same_shape(views)
+    shape = views[0].shape
+    rdt = jax.eval_shape(f, *[jax.ShapeDtypeStruct((), v.dtype) for v in views]).dtype
+    out = strided(jnp.zeros(shape, rdt))
+    if math.prod(shape) == 0:
+        return out
+    return fused_mapreduce(f, None, None, shape, out, views)
+
+
+def copy_into(out, src) -> StridedView:
+    """``copy!(dst, src)`` = ``map!(identity, dst, src)``
+    (`/root/reference/src/mapreduce.jl:2-4`)."""
+    return map_into(out, lambda x: x, src)
+
+
+def permutedims_into(out, src, perm) -> StridedView:
+    """Out-of-place permute as a lazy permute + fused strided copy — exactly
+    the reference's trick (`/root/reference/src/mapreduce.jl:7-14`)."""
+    from .view import permutedims as _p
+
+    return copy_into(out, _p(_as_view(src), perm))
+
+
+def adjoint_into(out, src) -> StridedView:
+    """``adjoint!(dst, src)`` (`/root/reference/src/mapreduce.jl:7-10`)."""
+    from .view import adjoint as _a
+
+    return copy_into(out, _a(_as_view(src)))
+
+
+def conj_into(out, src=None) -> StridedView:
+    """``conj!(A)`` (`/root/reference/src/mapreduce.jl:5-6`)."""
+    from .view import conj as _c
+
+    src = out if src is None else src
+    return copy_into(out, _c(_as_view(src)))
+
+
+def sreduce(f: Callable, op: Callable, v, init=None):
+    """Complete reduction ``mapreduce(f, op, A)`` — returns a 0-d array.
+
+    Mirrors ``_mapreduce`` (`/root/reference/src/mapreduce.jl:55-72`): build a
+    one-element output and reshape it (lazily) to an all-ones shape so every
+    reduction dim has stride 0."""
+    v = _as_view(v)
+    if v.size == 0:
+        if init is None:
+            raise StridedLayoutError("reduction over empty view requires init")
+        return jnp.asarray(init)
+    shape = v.shape
+    rdt = jax.eval_shape(f, jax.ShapeDtypeStruct((), v.dtype)).dtype
+    if init is None:
+        ident = reduce_identity(op, rdt)
+        seed = jnp.zeros((), rdt) if ident is None else ident
+        initop = (lambda x: jnp.full_like(x, seed)) if ident is not None else None
+        if ident is None:
+            # Unknown identity: seed the accumulator with f of the first
+            # element via the fold inside _reduce_vals; start out at f(x0)
+            # and fold the rest — handled by using initop=None and an
+            # op-neutral start: materialize and fold directly.
+            vals = f(materialize(v))
+            return _reduce_vals(op, vals, tuple(range(v.ndim)))
+    else:
+        initop = lambda x: jnp.full_like(x, jnp.asarray(init, rdt))
+    out = strided(jnp.zeros((1,) * max(v.ndim, 1), rdt))
+    out = StridedView(out.parent, v.shape, (0,) * v.ndim, 0, False)
+    res = fused_mapreduce(f, op, initop, v.shape, out, [v])
+    return res.parent[0]
+
+
+def sreduce_dims(f: Callable, op: Callable, v, axes, init=None) -> StridedView:
+    """Partial reduction over ``axes`` — analog of ``Base.mapreducedim!``
+    (`/root/reference/src/mapreduce.jl:25-30,74-84`). Returns a StridedView
+    with the reduced dims kept at size 1."""
+    v = _as_view(v)
+    if isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(sorted(range(v.ndim)[a] for a in axes))
+    rdt = jax.eval_shape(f, jax.ShapeDtypeStruct((), v.dtype)).dtype
+    out_shape = tuple(1 if i in axes else d for i, d in enumerate(v.shape))
+    ident = reduce_identity(op, rdt)
+    if init is not None:
+        seed = jnp.asarray(init, rdt)
+        initop = lambda x: jnp.full_like(x, seed)
+    elif ident is not None:
+        initop = lambda x: jnp.full_like(x, ident)
+    else:
+        raise StridedLayoutError(
+            "partial reduction with unknown op identity requires init"
+        )
+    out = strided(jnp.zeros(out_shape, rdt))
+    # Broadcast the output over the reduced dims: stride 0 there.
+    out_b = broadcast_to(out, v.shape) if out_shape != v.shape else out
+    res = fused_mapreduce(f, op, initop, v.shape, out_b, [v])
+    return StridedView(res.parent, out_shape, out.strides, 0, False)
+
+
+def mapreducedim_into(f, op, initop, out, *ins) -> StridedView:
+    """Raw engine entry with explicit ``initop`` — the contract tested by the
+    reference at `/root/reference/test/othertests.jl:68-107` (all five initop
+    shapes: identity/zero/scale/const/conj)."""
+    out = _as_view(out)
+    views = [_as_view(v) for v in ins]
+    dims = views[0].shape if views else out.shape
+    for v in views:
+        if v.shape != dims:
+            raise StridedLayoutError("input shape mismatch")
+    if out.shape != dims:
+        # out must broadcast over reduced dims
+        out = broadcast_to(out, dims)
+    return fused_mapreduce(f, op, initop, dims, out, views)

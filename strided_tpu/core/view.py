@@ -73,7 +73,7 @@ def row_major_strides(shape: Sequence[int]) -> Tuple[int, ...]:
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class StridedView:
     """A lazy strided window into a flat 1-D buffer.
 

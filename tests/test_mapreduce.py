@@ -1,0 +1,272 @@
+"""Engine tests: map/copy/permute façades, complete + partial reductions,
+and the initop contract — mirroring `/root/reference/test/othertests.jl:1-128`
+(oracle comparison vs dense ops, random lazy layouts, exact int dtypes,
+all five initop shapes)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import strided_tpu as st
+from strided_tpu.core.mapreduce import (
+    smap,
+    map_into,
+    copy_into,
+    permutedims_into,
+    adjoint_into,
+    sreduce,
+    sreduce_dims,
+    mapreducedim_into,
+)
+from strided_tpu.core.broadcast import sbroadcast, sbroadcast_into
+from strided_tpu.core.view import StridedView
+from strided_tpu.core.regularize import materialize
+
+
+def rand(shape, dtype=np.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(dtype, np.complexfloating):
+        return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        return rng.integers(-20, 20, size=shape).astype(dtype)
+    return rng.standard_normal(shape).astype(dtype)
+
+
+# -- in-place matrix ops vs oracle (othertests.jl:1-15) ---------------------
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex128, np.int32])
+def test_permutedims_into(dtype):
+    a = rand((13, 17, 5), dtype)
+    out = st.strided(jnp.zeros((5, 13, 17), dtype))
+    res = permutedims_into(out, jnp.asarray(a), (2, 0, 1))
+    np.testing.assert_array_equal(np.asarray(materialize(res)), np.transpose(a, (2, 0, 1)))
+
+
+def test_adjoint_into():
+    a = rand((9, 6), np.complex128)
+    out = st.strided(jnp.zeros((6, 9), np.complex128))
+    res = adjoint_into(out, jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(materialize(res)), a.conj().T)
+
+
+def test_copy_into_lazy_permuted_views():
+    # copy through two different lazy layouts (dst strided slice)
+    a = rand((8, 8))
+    dst = st.strided(jnp.zeros((16, 16)))
+    dv = st.sview(dst, np.s_[::2, ::2])
+    res = copy_into(dv, st.transpose(st.strided(jnp.asarray(a))))
+    full = np.zeros((16, 16))
+    full[::2, ::2] = a.T
+    np.testing.assert_array_equal(np.asarray(res.parent).reshape(16, 16), full)
+
+
+# -- map over random lazy layouts, ranks 2..6 (othertests.jl:17-44) ---------
+
+
+@pytest.mark.parametrize("rank", [2, 3, 4, 5, 6])
+def test_map_random_permuted_views(rank):
+    rng = np.random.default_rng(rank)
+    shape = tuple(rng.integers(2, 5) for _ in range(rank))
+    a = rand(shape, seed=rank)
+    perm = tuple(rng.permutation(rank))
+    va = st.permutedims(st.strided(jnp.asarray(a)), perm)
+    res = smap(lambda x: jnp.sin(x) + 1.0, va)
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)), np.sin(np.transpose(a, perm)) + 1.0, rtol=1e-12
+    )
+
+
+def test_map_into_shape_mismatch_raises():
+    with pytest.raises(st.StridedLayoutError):
+        map_into(st.strided(jnp.zeros((3, 3))), lambda x: x, st.strided(jnp.zeros((4, 3))))
+
+
+def test_map_dtype_promotion():
+    # analog of Base.map promotion (mapreduce.jl:32-36)
+    a = st.strided(jnp.arange(6, dtype=jnp.int32).reshape(2, 3))
+    b = st.strided(jnp.ones((2, 3), jnp.float64))
+    res = smap(jnp.add, a, b)
+    assert res.dtype == jnp.float64
+
+
+# -- complete reductions (othertests.jl:109-128) ----------------------------
+
+
+def test_sum_over_lazy_permute():
+    a = rand((5, 6, 7))
+    v = st.permutedims(st.strided(jnp.asarray(a)), (2, 0, 1))
+    got = sreduce(lambda x: x, jnp.add, v)
+    np.testing.assert_allclose(float(got), a.sum(), rtol=1e-12)
+
+
+def test_mapreduce_sin_plus():
+    a = rand((11, 13))
+    got = sreduce(jnp.sin, jnp.add, st.strided(jnp.asarray(a)))
+    np.testing.assert_allclose(float(got), np.sin(a).sum(), rtol=1e-12)
+
+
+def test_counting_bool_reduction():
+    # sum(x -> real(x) < 0, A): Bool + counting (othertests.jl:117-121)
+    a = rand((10, 10), np.complex128)
+    got = sreduce(lambda x: (jnp.real(x) < 0).astype(jnp.int32), jnp.add,
+                  st.strided(jnp.asarray(a)))
+    assert int(got) == int((a.real < 0).sum())
+
+
+def test_prod_exp_identity():
+    # prod(exp(A)) ≈ exp(sum(A)) (othertests.jl:122-128)
+    a = rand((6, 6)) * 0.01
+    v = st.strided(jnp.asarray(a))
+    p = float(sreduce(jnp.exp, jnp.multiply, v))
+    s = float(sreduce(lambda x: x, jnp.add, v))
+    np.testing.assert_allclose(p, np.exp(s), rtol=1e-10)
+
+
+def test_reduce_unknown_op_fold():
+    # op with unknown identity -> sequential fold path
+    a = rand((4, 5))
+    v = st.strided(jnp.asarray(a))
+    got = sreduce(lambda x: x, lambda p, q: jnp.arctan2(p, q), v)
+    expect = a.reshape(-1)[0]
+    for x in a.reshape(-1)[1:]:
+        expect = np.arctan2(expect, x)
+    np.testing.assert_allclose(float(got), expect, rtol=1e-12)
+
+
+def test_reduce_min_max_int_exact():
+    a = rand((7, 9), np.int32, seed=3)
+    v = st.transpose(st.strided(jnp.asarray(a)))
+    assert int(sreduce(lambda x: x, jnp.minimum, v)) == a.min()
+    assert int(sreduce(lambda x: x, jnp.maximum, v)) == a.max()
+
+
+# -- partial reductions + initop contract (othertests.jl:68-107) ------------
+
+
+@pytest.mark.parametrize("axes", [(0,), (1,), (2,), (0, 2), (0, 1, 2)])
+def test_sum_dims(axes):
+    a = rand((5, 6, 7))
+    v = st.strided(jnp.asarray(a))
+    res = sreduce_dims(lambda x: x, jnp.add, v, axes)
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)), a.sum(axis=axes, keepdims=True), rtol=1e-12
+    )
+
+
+def test_sum_dims_over_permuted_input():
+    a = rand((4, 5, 6))
+    v = st.permutedims(st.strided(jnp.asarray(a)), (1, 2, 0))
+    res = sreduce_dims(lambda x: x, jnp.add, v, (1,))
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)),
+        np.transpose(a, (1, 2, 0)).sum(axis=1, keepdims=True),
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.parametrize(
+    "initop_name", ["identity", "zero", "scale", "const", "conj"]
+)
+def test_mapreducedim_initop_shapes(initop_name):
+    """The five initop shapes of the reference contract test
+    (othertests.jl:68-107): identity, x->0, x->β*x, x->β, conj."""
+    beta = 2.5
+    a = rand((6, 4), np.float64, seed=7)
+    c0 = rand((6, 1), np.float64, seed=8)
+    initops = {
+        "identity": (lambda x: x, lambda x: x),
+        "zero": (lambda x: jnp.zeros_like(x), lambda x: np.zeros_like(x)),
+        "scale": (lambda x: beta * x, lambda x: beta * x),
+        "const": (lambda x: jnp.full_like(x, beta), lambda x: np.full_like(x, beta)),
+        "conj": (jnp.conj, np.conj),
+    }
+    jop, nop = initops[initop_name]
+    out = st.strided(jnp.asarray(c0.copy()))
+    outb = st.broadcast_to(out, (6, 4))
+    res = mapreducedim_into(lambda x: x * x, jnp.add, jop, outb,
+                            st.strided(jnp.asarray(a)))
+    expect = nop(c0) + (a * a).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(res.parent).reshape(6, 1), expect, rtol=1e-12
+    )
+
+
+def test_mapreducedim_zero_size_applies_initop_only():
+    # size-0 reduction dim: only initop applied (mapreduce.jl:86-96)
+    beta = 3.0
+    c0 = rand((4, 1))
+    out = st.broadcast_to(st.strided(jnp.asarray(c0.copy())), (4, 0))
+    res = mapreducedim_into(
+        lambda x: x, jnp.add, lambda x: beta * x, out,
+        st.strided(jnp.zeros((4, 0)))
+    )
+    np.testing.assert_allclose(np.asarray(res.parent).reshape(4, 1), beta * c0)
+
+
+# -- broadcast front-end (othertests.jl:46-66) ------------------------------
+
+
+def test_broadcast_fused_expression():
+    a = rand((64, 64))
+    A = st.strided(jnp.asarray(a))
+    # B = (A + A') / 2
+    res = sbroadcast(lambda x, y: (x + y) / 2, A, st.transpose(A))
+    np.testing.assert_allclose(np.asarray(materialize(res)), (a + a.T) / 2, rtol=1e-15)
+
+
+def test_broadcast_scalar_capture():
+    a = rand((8, 8))
+    A = st.strided(jnp.asarray(a))
+    res = sbroadcast(lambda s, x: s * x, 3.0, st.transpose(A))
+    np.testing.assert_allclose(np.asarray(materialize(res)), 3.0 * a.T, rtol=1e-15)
+
+
+def test_broadcast_dims_mismatch_promotion():
+    a = rand((4, 1, 5))
+    b = rand((3, 5))
+    res = sbroadcast(jnp.add, st.strided(jnp.asarray(a)), st.strided(jnp.asarray(b)))
+    assert res.shape == (4, 3, 5)
+    np.testing.assert_allclose(np.asarray(materialize(res)), a + b, rtol=1e-15)
+
+
+def test_broadcast_into_strided_dst():
+    a = rand((10, 10))
+    dst = st.strided(jnp.zeros((10, 10)))
+    dv = st.sview(dst, np.s_[::2, :])
+    res = sbroadcast_into(dv, lambda x: 2 * x, st.sview(st.strided(jnp.asarray(a)), np.s_[:5, :]))
+    full = np.zeros((10, 10))
+    full[::2, :] = 2 * a[:5, :]
+    np.testing.assert_allclose(np.asarray(res.parent).reshape(10, 10), full)
+
+
+def test_operator_overloads():
+    a = rand((6, 6))
+    A = st.strided(jnp.asarray(a))
+    res = (A + st.transpose(A)) / 2
+    np.testing.assert_allclose(np.asarray(res), (a + a.T) / 2, rtol=1e-15)
+    res2 = 3 * A - 1
+    np.testing.assert_allclose(np.asarray(res2), 3 * a - 1, rtol=1e-15)
+
+
+def test_fused_symmetrize_flagship():
+    """The flagship call path: B .= (A .+ A')./2 (SURVEY.md §3.1)."""
+    a = rand((128, 128))
+    A = st.strided(jnp.asarray(a))
+    B = st.strided(jnp.zeros((128, 128)))
+    res = sbroadcast_into(B, lambda x, y: (x + y) / 2, A, st.transpose(A))
+    np.testing.assert_allclose(
+        np.asarray(res.parent).reshape(128, 128), (a + a.T) / 2, rtol=1e-15
+    )
+
+
+def test_fused_permute_sum():
+    """Benchmark №5 workload: sum of 4 lazy permutes fused into one pass
+    (README.md:101-105)."""
+    a = rand((8, 8, 8, 8))
+    A = st.strided(jnp.asarray(a))
+    perms = [(0, 1, 2, 3), (3, 2, 1, 0), (2, 3, 0, 1), (1, 0, 3, 2)]
+    views = [st.permutedims(A, p) for p in perms]
+    res = sbroadcast(lambda w, x, y, z: w + x + y + z, *views)
+    expect = sum(np.transpose(a, p) for p in perms)
+    np.testing.assert_allclose(np.asarray(materialize(res)), expect, rtol=1e-14)
