@@ -24,5 +24,21 @@ from .core.view import (  # noqa: F401
     broadcast_to,
 )
 from .core.regularize import materialize  # noqa: F401
+from .core.mapreduce import (  # noqa: F401
+    smap,
+    map_into,
+    copy_into,
+    permutedims_into,
+    adjoint_into,
+    conj_into,
+    sreduce,
+    sreduce_dims,
+    mapreducedim_into,
+    fused_mapreduce,
+)
+from .core.broadcast import sbroadcast, sbroadcast_into  # noqa: F401
+from .linalg import mul, matmul, axpy, axpby, lmul, rmul, scale_into  # noqa: F401
+from .api import strided_jit, maybe_strided, maybe_unstrided, to_array  # noqa: F401
+from . import ops  # noqa: F401
 
 __version__ = "0.1.0"

@@ -64,6 +64,10 @@ class Config:
     sublane: int = 8
     # Interpret mode for Pallas kernels (CI / CPU debugging).
     interpret: bool = _env_bool("INTERPRET", False)
+    # MXU precision for f32 matmuls: 'highest' (f32-accurate via bf16x3
+    # passes — the default, since the reference is an exact/f64 CPU engine),
+    # 'default' (single-pass bf16 — fastest), or 'high'.
+    matmul_precision: str = os.environ.get("STRIDED_TPU_MATMUL_PRECISION", "highest")
 
 
 _config = Config()

@@ -1,0 +1,186 @@
+"""Linalg tests — the op-grid and eltype-promotion matmul contract of
+`/root/reference/test/blasmultests.jl` and the exact-arithmetic generic-path
+grid of `/root/reference/test/othertests.jl:253-333`, adapted: ints play the
+role of Complex{Int}/Rational (exact dtypes forcing the generic engine path).
+Odd size 103 intentionally avoids tile-friendly shapes (blasmultests.jl:4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import strided_tpu as st
+from strided_tpu.linalg import mul, matmul, axpy, axpby, lmul, rmul
+from strided_tpu.core.regularize import materialize
+from strided_tpu import config as cfg
+
+
+def rand(shape, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(dtype, np.complexfloating):
+        return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        return rng.integers(-10, 10, size=shape).astype(dtype)
+    return rng.standard_normal(shape).astype(dtype)
+
+
+def make_op(x, opname):
+    """Build (lazy_view, dense_oracle) applying one of the 4 ops."""
+    v = st.strided(jnp.asarray(x))
+    if opname == "identity":
+        return v, x
+    if opname == "conj":
+        return st.conj(v), np.conj(x)
+    if opname == "transpose":
+        return st.transpose(v), x.T
+    if opname == "adjoint":
+        return st.adjoint(v), np.conj(x.T)
+    raise AssertionError
+
+
+OPS = ["identity", "conj", "transpose", "adjoint"]
+
+
+@pytest.mark.parametrize("op1", OPS)
+@pytest.mark.parametrize("op2", OPS)
+def test_generic_mul_int_exact_grid(op1, op2):
+    """Exact arithmetic op^2 grid on int64 — any indexing/initop error shows
+    exactly (othertests.jl:253-297)."""
+    d = 7
+    a = rand((d, d), np.int64, 1)
+    b = rand((d, d), np.int64, 2)
+    c = rand((d, d), np.int64, 3)
+    A, oa = make_op(a, op1)
+    B, ob = make_op(b, op2)
+    C = st.strided(jnp.asarray(c.copy()))
+    res = mul(C, A, B, alpha=3, beta=2)
+    expect = 3 * (oa @ ob) + 2 * c
+    np.testing.assert_array_equal(np.asarray(materialize(res)), expect)
+
+
+@pytest.mark.parametrize("dt1", [np.float32, np.float64, np.complex64, np.complex128])
+@pytest.mark.parametrize("dt2", [np.float64, np.complex128])
+def test_eltype_promotion_grid(dt1, dt2):
+    """Mixed eltypes force the generic path; equal hit the MXU path
+    (blasmultests.jl:1-28)."""
+    d = 103
+    rng = np.random.default_rng(5)
+    alpha, beta = rng.standard_normal(), rng.standard_normal()
+    a = rand((d, d), dt1, 6)
+    b = rand((d, d), dt2, 7)
+    cd = np.promote_types(dt1, dt2)
+    c = rand((d, d), cd, 8)
+    A, oa = make_op(a, "transpose")
+    B, ob = make_op(b, "adjoint" if np.issubdtype(dt2, np.complexfloating) else "identity")
+    C = st.strided(jnp.asarray(c.copy()))
+    res = mul(C, A, B, alpha=alpha, beta=beta)
+    expect = alpha * (oa.astype(cd) @ ob.astype(cd)) + beta * c
+    np.testing.assert_allclose(np.asarray(materialize(res)), expect, rtol=1e-5)
+
+
+def test_outer_product():
+    # k=1 (blasmultests.jl:30-56)
+    a = rand((9, 1), np.float64, 1)
+    b = rand((1, 11), np.float64, 2)
+    res = matmul(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(materialize(res)), a @ b, rtol=1e-14)
+
+
+def test_inner_product():
+    # m=n=1 (blasmultests.jl:58-84)
+    a = rand((1, 17), np.float64, 3)
+    b = rand((17, 1), np.float64, 4)
+    c = np.array([[2.0]])
+    res = mul(st.strided(jnp.asarray(c.copy())), jnp.asarray(a), jnp.asarray(b),
+              alpha=2.0, beta=3.0)
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)), 2.0 * (a @ b) + 3.0 * c, rtol=1e-14
+    )
+
+
+def test_zero_inner_dim():
+    # k=0: C = beta*C (blasmultests.jl:88-98)
+    c = rand((5, 5), np.float64, 9)
+    res = mul(st.strided(jnp.asarray(c.copy())), jnp.zeros((5, 0)), jnp.zeros((0, 5)),
+              alpha=1.0, beta=2.0)
+    np.testing.assert_allclose(np.asarray(materialize(res)), 2 * c, rtol=1e-14)
+
+
+def test_zero_size_output():
+    res = matmul(jnp.zeros((0, 4)), jnp.ones((4, 3)))
+    assert res.shape == (0, 3)
+
+
+@pytest.mark.parametrize("special", [(0, 0), (1, 0), (0, 1), (1, 1)])
+def test_alpha_beta_specials(special):
+    alpha, beta = special
+    a = rand((8, 8), np.float64, 1)
+    b = rand((8, 8), np.float64, 2)
+    c = rand((8, 8), np.float64, 3)
+    res = mul(st.strided(jnp.asarray(c.copy())), jnp.asarray(a), jnp.asarray(b),
+              alpha=alpha, beta=beta)
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)), alpha * (a @ b) + beta * c, rtol=1e-14
+    )
+
+
+def test_mul_into_conj_dst():
+    """C.op == conj canonicalization (linalg.jl:50-62): writing through a
+    conj view must store the conjugate."""
+    a = rand((6, 6), np.complex128, 1)
+    b = rand((6, 6), np.complex128, 2)
+    c = rand((6, 6), np.complex128, 3)
+    C = st.conj(st.strided(jnp.asarray(c.copy())))
+    res = mul(C, jnp.asarray(a), jnp.asarray(b), alpha=1.0, beta=0.0)
+    # logical result == a@b; the parent stores its conjugate
+    np.testing.assert_allclose(np.asarray(materialize(res)), a @ b, rtol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(res.parent).reshape(6, 6), np.conj(a @ b), rtol=1e-13
+    )
+
+
+def test_mul_into_transposed_dst():
+    a = rand((4, 6), np.float64, 1)
+    b = rand((6, 5), np.float64, 2)
+    cbuf = st.strided(jnp.zeros((5, 4)))
+    C = st.transpose(cbuf)  # logical (4,5)
+    res = mul(C, jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(materialize(res)), a @ b, rtol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(res.parent).reshape(5, 4), (a @ b).T, rtol=1e-14
+    )
+
+
+def test_generic_forced_when_mxu_disabled():
+    cfg.disable_mxu()
+    try:
+        a = rand((12, 12), np.float64, 1)
+        b = rand((12, 12), np.float64, 2)
+        res = matmul(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(materialize(res)), a @ b, rtol=1e-13)
+    finally:
+        cfg.enable_mxu()
+
+
+def test_axpy_axpby_lmul_rmul():
+    x = rand((7, 9), np.float64, 1)
+    y = rand((7, 9), np.float64, 2)
+    res = axpy(2.0, jnp.asarray(x), st.strided(jnp.asarray(y.copy())))
+    np.testing.assert_allclose(np.asarray(materialize(res)), 2 * x + y, rtol=1e-14)
+    res = axpby(2.0, jnp.asarray(x), 3.0, st.strided(jnp.asarray(y.copy())))
+    np.testing.assert_allclose(np.asarray(materialize(res)), 2 * x + 3 * y, rtol=1e-14)
+    res = lmul(0.5, st.strided(jnp.asarray(y.copy())))
+    np.testing.assert_allclose(np.asarray(materialize(res)), 0.5 * y, rtol=1e-14)
+    res = rmul(st.strided(jnp.asarray(y.copy())), 0.0)
+    np.testing.assert_allclose(np.asarray(materialize(res)), 0 * y)
+
+
+def test_axpy_over_permuted_views():
+    # rank-4 lazy-permuted operands (othertests.jl:17-44 style)
+    x = rand((3, 4, 5, 2), np.float64, 1)
+    y = rand((5, 3, 2, 4), np.float64, 2)
+    xv = st.permutedims(st.strided(jnp.asarray(x)), (2, 0, 3, 1))  # -> (5,3,2,4)
+    res = axpy(1.5, xv, st.strided(jnp.asarray(y.copy())))
+    np.testing.assert_allclose(
+        np.asarray(materialize(res)), 1.5 * np.transpose(x, (2, 0, 3, 1)) + y,
+        rtol=1e-14,
+    )
