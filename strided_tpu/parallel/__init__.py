@@ -1,0 +1,7 @@
+from .mesh import make_mesh, data_sharding, replicated, P  # noqa: F401
+from .sharded import (  # noqa: F401
+    shard_batch,
+    sharded_rollout,
+    sharded_mpc_step,
+    scenario_consensus_control,
+)

@@ -1,0 +1,106 @@
+"""shard_map scenario parallelism + collective reductions.
+
+TPU-native replacement for the reference's thread scheduler
+(`/root/reference/src/mapreduce.jl:141-227`), following the same two rules
+re-expressed over a device mesh (SURVEY.md §2.2, §5):
+
+- *data-parallel split only along non-reduction dims*: the scenario/batch
+  axis shards over the mesh; each device owns disjoint output blocks, so
+  races are impossible by construction (the cost-zeroing rule of
+  `/root/reference/src/mapreduce.jl:172-177`);
+- *reductions combine via collectives*: per-device partial results meet in
+  ``psum``/``pmean`` over ICI — the analog of the per-task accumulator slots
+  + serial combine (`/root/reference/src/mapreduce.jl:153-170`), with the
+  false-sharing spacing trick replaced by XLA's all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .mesh import make_mesh, data_sharding
+
+__all__ = [
+    "shard_batch",
+    "sharded_rollout",
+    "sharded_mpc_step",
+    "scenario_consensus_control",
+]
+
+
+def shard_batch(fn: Callable, mesh: Mesh, axis: str = "data"):
+    """Wrap ``fn(batch_args...) -> batch_out`` so the leading dim of every
+    array argument/output is sharded over ``axis``. ``fn`` must be
+    shape-polymorphic in the batch dim (vmapped/batched code is)."""
+    spec = P(axis)
+
+    def in_spec(x):
+        return spec
+
+    wrapped = shard_map(
+        fn, mesh=mesh, in_specs=spec, out_specs=spec)
+    return wrapped
+
+
+def sharded_rollout(model, mesh: Mesh, dt, axis: str = "data"):
+    """Scenario-sharded batched rollout: (B, n) x (B, T, m) -> (B, T+1, n),
+    B sharded over the mesh."""
+    from ..mpc.rollout import rollout
+
+    def local(x0, us):
+        return rollout(model, x0, us, dt)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+
+
+def sharded_mpc_step(ctrl, model, mesh: Mesh, dt, axis: str = "data"):
+    """One closed-loop MPC step over a sharded scenario batch: solve the
+    condensed QP locally per shard, apply the first input, step the plant."""
+
+    def local(x):
+        u, _ = ctrl.control(x)
+        return model.step(x, u, dt), u
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
+    )
+
+
+def scenario_consensus_control(ctrl, mesh: Mesh, axis: str = "data"):
+    """Scenario-MPC consensus: every device solves its local scenarios' QPs,
+    then the first-stage controls are **all-reduced (pmean) over ICI** into
+    one consensus control — BASELINE.json config 5's 'QP-block all-reduce'.
+
+    Returns a function (B, n) -> ((m,) consensus u, (B, N, m) local plans).
+    """
+
+    def local(x):
+        u0, U = ctrl.control(x)
+        # mean over local scenarios, then over the mesh axis
+        u_local = jnp.mean(u0, axis=0)
+        u_cons = jax.lax.pmean(u_local, axis_name=axis)
+        return u_cons, U
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(), P(axis)),
+    )

@@ -1,0 +1,64 @@
+"""Benchmark timing harness with forced device synchronization.
+
+The TPU analog of the reference's BenchmarkTools methodology
+(`/root/reference/benchmarks/benchtests.jl:11-68`). Two hard-won rules for
+tunneled/remote TPU backends:
+
+1. ``jax.block_until_ready`` may return at *dispatch* completion, not device
+   completion — every timed region must end with a host scalar fetch (a tiny
+   ``jnp.sum`` pulled to Python) to drain the execution queue.
+2. Identical repeated dispatches can be cached/elided — chain each iteration
+   on the previous output so every step has a real data dependency.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_fn", "time_chained", "bandwidth_gbs"]
+
+
+def _drain(out):
+    """Force true completion: pull one scalar of ``out`` to the host."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.sum(jnp.ravel(leaf)[:1]))
+
+
+def time_fn(fn: Callable, *args, inner: int = 10, repeats: int = 3, warmup: int = 2):
+    """Best average seconds/call of ``fn(*args)`` with queue-drain sync."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _drain(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        _drain(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def time_chained(fn: Callable, x, inner: int = 10, repeats: int = 3):
+    """Like :func:`time_fn` but feeds each output back as the next input
+    (requires matching in/out structure); defeats dispatch caching."""
+    y = fn(x)
+    _drain(y)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(inner):
+            y = fn(y)
+        _drain(y)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def bandwidth_gbs(nbytes: int, seconds: float) -> float:
+    return nbytes / seconds / 1e9
