@@ -5,3 +5,4 @@ from .sharded import (  # noqa: F401
     sharded_mpc_step,
     scenario_consensus_control,
 )
+from .tp import matmul_nsplit, matmul_msplit, matmul_ksplit  # noqa: F401

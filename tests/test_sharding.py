@@ -93,3 +93,18 @@ def test_consensus_control_is_global_mean(mesh):
     xs = jax.device_put(x, data_sharding(mesh, 2))
     u_cons, _ = f(xs)
     np.testing.assert_allclose(np.asarray(u_cons), expect, rtol=1e-9)
+
+
+# ---- tensor-parallel matmul (the D&C threaded gemm analog) ----
+
+
+@pytest.mark.parametrize("split", ["n", "m", "k"])
+def test_tp_matmul_matches_dense(mesh, split):
+    from strided_tpu.parallel import matmul_nsplit, matmul_msplit, matmul_ksplit
+
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((48, 64)))
+    B = jnp.asarray(rng.standard_normal((64, 56)))
+    fn = {"n": matmul_nsplit, "m": matmul_msplit, "k": matmul_ksplit}[split]
+    C = jax.jit(lambda a, b: fn(a, b, mesh))(A, B)
+    np.testing.assert_allclose(np.asarray(C), np.asarray(A) @ np.asarray(B), rtol=1e-10)
