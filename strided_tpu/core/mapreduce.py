@@ -67,27 +67,29 @@ __all__ = [
 # under threading; we can always fold sequentially inside one program).
 
 
-def reduce_identity(op: Callable, dtype) -> Optional[jax.Array]:
+def reduce_identity(op: Callable, dtype):
+    """Identity element as a PYTHON scalar (not a jax array) so kernels can
+    close over it without capturing device constants."""
     if op in (operator.add, jnp.add):
-        return jnp.zeros((), dtype)
+        return 0
     if op in (operator.mul, jnp.multiply):
-        return jnp.ones((), dtype)
+        return 1
     if op is jnp.minimum:
         if jnp.issubdtype(dtype, jnp.floating):
-            return jnp.array(jnp.inf, dtype)
-        return jnp.array(jnp.iinfo(dtype).max, dtype)
+            return float("inf")
+        return int(jnp.iinfo(dtype).max)
     if op is jnp.maximum:
         if jnp.issubdtype(dtype, jnp.floating):
-            return jnp.array(-jnp.inf, dtype)
-        return jnp.array(jnp.iinfo(dtype).min, dtype)
+            return float("-inf")
+        return int(jnp.iinfo(dtype).min)
     if op in (jnp.logical_and,):
-        return jnp.array(True, dtype)
+        return True
     if op in (jnp.logical_or,):
-        return jnp.array(False, dtype)
+        return False
     if op in (operator.and_, jnp.bitwise_and):
-        return jnp.array(-1, dtype)  # all ones
+        return -1  # all ones
     if op in (operator.or_, jnp.bitwise_or):
-        return jnp.zeros((), dtype)
+        return 0
     return None
 
 
@@ -100,7 +102,9 @@ def _reduce_vals(op: Callable, vals: jax.Array, axes: Tuple[int, ...]) -> jax.Ar
     serially (`/root/reference/src/mapreduce.jl:182-191`)."""
     ident = reduce_identity(op, vals.dtype)
     if ident is not None:
-        return lax.reduce(vals, ident, lambda a, b: op(a, b), axes)
+        return lax.reduce(
+            vals, jnp.asarray(ident, vals.dtype), lambda a, b: op(a, b), axes
+        )
     # Sequential fold: move reduce axes last, flatten, scan.
     keep = [i for i in range(vals.ndim) if i not in axes]
     perm = keep + list(axes)

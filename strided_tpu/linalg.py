@@ -42,7 +42,16 @@ from .core.mapreduce import fused_mapreduce
 from .core.broadcast import sbroadcast_into, sbroadcast
 from .config import get_config
 
-__all__ = ["mul", "matmul", "axpy", "axpby", "lmul", "rmul", "scale_into"]
+__all__ = [
+    "mul",
+    "matmul",
+    "axpy",
+    "axpby",
+    "lmul",
+    "rmul",
+    "scale_into",
+    "contract",
+]
 
 
 def _as_view(x):
@@ -216,6 +225,19 @@ def _mul_generic(C, A, B, alpha, beta) -> StridedView:
         initop = lambda x: beta * x
     res = fused_mapreduce(f, jnp.add, initop, dims, C3, [A3, B3])
     return StridedView(res.parent, C.shape, C.strides, C.offset, C.conj)
+
+
+def contract(subscripts: str, *operands, alpha=1) -> jax.Array:
+    """General tensor contraction (einsum) with lazy strided-view operands
+    and the configured MXU precision — the workload family of the
+    reference's tensor-contraction benchmarks
+    (`/root/reference/benchmarks/benchtests.jl:70-133`). Views lower to
+    fusible recipes; XLA maps the contraction onto `dot_general`/MXU."""
+    arrays = [materialize(_as_view(o)) for o in operands]
+    out = jnp.einsum(subscripts, *arrays, precision=_precision())
+    if not _is_static_one(alpha):
+        out = alpha * out
+    return out
 
 
 def matmul(A, B, alpha=1) -> StridedView:

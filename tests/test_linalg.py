@@ -184,3 +184,14 @@ def test_axpy_over_permuted_views():
         np.asarray(materialize(res)), 1.5 * np.transpose(x, (2, 0, 3, 1)) + y,
         rtol=1e-14,
     )
+
+
+def test_contract_einsum_over_views():
+    # tensor contraction with lazy permuted operands vs numpy einsum
+    from strided_tpu.linalg import contract
+    a = rand((4, 5, 6), np.float64, 11)
+    w = rand((5, 6, 7), np.float64, 12)
+    av = st.permutedims(st.strided(jnp.asarray(a)), (0, 2, 1))  # (4,6,5)
+    got = contract("acb,bcd->ad", av, jnp.asarray(w))
+    expect = np.einsum("acb,bcd->ad", np.transpose(a, (0, 2, 1)), w)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
