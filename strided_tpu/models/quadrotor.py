@@ -23,9 +23,10 @@ def quadrotor(
     Jy=0.01,
     Jz=0.02,
 ) -> Model:
-    J = jnp.array([Jx, Jy, Jz])
-
     def dynamics(x, u):
+        # dtype-faithful constants: the f32 TPU path must not silently
+        # promote to f64 (SURVEY.md §7 precision story)
+        J = jnp.array([Jx, Jy, Jz], x.dtype)
         v = x[..., 3:6]
         phi, th, psi = x[..., 6], x[..., 7], x[..., 8]
         w = x[..., 9:12]
@@ -45,7 +46,7 @@ def quadrotor(
             ],
             axis=-1,
         )
-        acc = zb * (thrust / m)[..., None] - jnp.array([0.0, 0.0, g])
+        acc = zb * (thrust / m)[..., None] - jnp.array([0.0, 0.0, g], x.dtype)
 
         # Euler-angle kinematics (ZYX): eul_dot = E(eul) @ omega
         tth = jnp.tan(th)
