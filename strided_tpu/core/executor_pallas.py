@@ -190,10 +190,13 @@ def _run(f, op, initop, dims, out, ins, cfg):
             align[dec.real_axes[-2]] = max(align[dec.real_axes[-2]], 8)
     sublane = 8
     lane = 128
+    # Plan against a quarter of the VMEM budget: Pallas double-buffers every
+    # operand block (2x) and register-tile padding inflates further; the
+    # planner's footprint is single-buffered.
+    budget = cfg.vmem_budget_bytes // 4
     tiles = list(
         planner.compute_tiles(
-            dims_o, costs, strides_o, itemsizes, cfg.vmem_budget_bytes // 2,
-            sublane, lane,
+            dims_o, costs, strides_o, itemsizes, budget, sublane, lane
         )
     )
     for i in range(r):
@@ -201,6 +204,20 @@ def _run(f, op, initop, dims, out, ins, cfg):
         if a > 1 and tiles[i] < dims_o[i]:
             tiles[i] = max(a, tiles[i] - tiles[i] % a)
             tiles[i] = min(tiles[i], dims_o[i])
+
+    # Alignment bumps may have re-broken the budget: shrink outermost dims
+    # (halving, never below each dim's alignment floor) until it fits.
+    def _fp(t):
+        return planner.vmem_footprint(tuple(t), strides_o, itemsizes, sublane, lane)
+
+    while _fp(tiles) > budget:
+        for j in range(r):
+            floor = min(align[j], dims_o[j]) if align[j] > 1 else 1
+            if tiles[j] > floor:
+                tiles[j] = max(floor, tiles[j] // 2)
+                break
+        else:
+            raise _Ineligible
     # reductions need exact tiling (padded lanes would poison the combine)
     for i in range(n_par, r):
         if dims_o[i] % tiles[i] != 0:
