@@ -7,3 +7,4 @@ from .qp import (  # noqa: F401
     qp_solve_unconstrained,
 )
 from .mpc import LinearMPC, make_hover_mpc, closed_loop  # noqa: F401
+from .riccati import lqr_gains, lqr_apply, riccati_converge  # noqa: F401

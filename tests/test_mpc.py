@@ -165,3 +165,36 @@ def test_cartpole_ilqr_swingup_reaches_upright():
     res = ilqr(model, cost, x0, us0, dt, iters=60, mu=1e-2)
     th_final = float(res.xs[-1, 1])
     assert abs(th_final - np.pi) < 0.3  # near upright
+
+
+def test_riccati_first_input_matches_condensed_qp():
+    """Two independent solvers of the same finite-horizon LQ problem —
+    Riccati recursion vs condensed-QP gain — must produce the same optimal
+    first input (cross-oracle, catches errors in either factorization)."""
+    from strided_tpu.mpc import lqr_gains, qp_solve_unconstrained, build_condensed
+
+    dt = 0.05
+    model, A, B, Q, R = _quad_qp(N=12, dt=dt)
+    N = 12
+    qp = build_condensed(A, B, Q, R, Q, N)
+    Ks, _ = lqr_gains(A, B, Q, R, Q, N)
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.standard_normal(12) * 0.3)
+    u_qp = qp_solve_unconstrained(qp, x0)[0]
+    u_ric = -(Ks[0] @ x0)
+    np.testing.assert_allclose(np.asarray(u_qp), np.asarray(u_ric), rtol=1e-6, atol=1e-9)
+
+
+def test_riccati_full_horizon_matches_qp_plan():
+    from strided_tpu.mpc import lqr_gains, lqr_apply, qp_solve_unconstrained, build_condensed
+
+    dt = 0.05
+    model, A, B, Q, R = _quad_qp(N=8, dt=dt)
+    N = 8
+    qp = build_condensed(A, B, Q, R, Q, N)
+    Ks, _ = lqr_gains(A, B, Q, R, Q, N)
+    rng = np.random.default_rng(12)
+    x0 = jnp.asarray(rng.standard_normal(12) * 0.2)
+    U_qp = np.asarray(qp_solve_unconstrained(qp, x0))
+    _, us = lqr_apply(Ks, x0, A, B)
+    np.testing.assert_allclose(U_qp, np.asarray(us), rtol=1e-5, atol=1e-8)
