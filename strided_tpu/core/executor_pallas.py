@@ -329,7 +329,10 @@ def _run(f, op, initop, dims, out, ins, cfg):
             compiler_params = pltpu.CompilerParams(
                 dimension_semantics=tuple(
                     ["parallel"] * n_par + ["arbitrary"] * (r - n_par)
-                )
+                ),
+                # allow the compiler the full planned footprint (double
+                # buffers + padding) with headroom
+                vmem_limit_bytes=min(cfg.vmem_budget_bytes * 2, 100 * 1024 * 1024),
             )
         except Exception:
             compiler_params = None

@@ -78,3 +78,22 @@ def test_planner_cache_is_pure():
     a = plan((64, 64), ((64, 1), (1, 64)), (4, 4), 1 << 20)
     b = plan((64, 64), ((64, 1), (1, 64)), (4, 4), 1 << 20)
     assert a is b
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from strided_tpu.models import quadrotor, hover_state, hover_input
+    from strided_tpu.mpc import make_hover_mpc
+    from strided_tpu.utils import save_pytree, load_pytree
+
+    m = quadrotor()
+    Q = jnp.eye(12)
+    R = jnp.eye(4)
+    ctrl = make_hover_mpc(m, hover_state(jnp.float64), hover_input(dtype=jnp.float64),
+                          Q, R, Q, horizon=4, dt=0.05)
+    p = str(tmp_path / "ctrl.npz")
+    save_pytree(p, ctrl)
+    ctrl2 = load_pytree(p, ctrl)
+    np.testing.assert_allclose(np.asarray(ctrl2.qp.H), np.asarray(ctrl.qp.H))
+    # structure mismatch must raise
+    with pytest.raises(ValueError):
+        load_pytree(p, {"not": "a controller", "x": jnp.zeros(3)})
