@@ -103,3 +103,36 @@ def test_batched_linearize_shapes():
     A, B = linearize(m, xs, us, 0.02)
     assert A.shape == (8, 10, 4, 4)
     assert B.shape == (8, 10, 4, 1)
+
+
+def test_unicycle_ilqr_tracks_goal():
+    """Vehicle-family iLQR: drive a unicycle to a pose goal."""
+    from strided_tpu.models import unicycle
+    from strided_tpu.mpc import QuadCost, ilqr
+
+    model = unicycle()
+    dt = 0.1
+    T = 40
+    cost = QuadCost(
+        Q=jnp.diag(jnp.array([1.0, 1.0, 0.1])),
+        R=jnp.eye(2) * 0.01,
+        Qf=jnp.diag(jnp.array([100.0, 100.0, 10.0])),
+        x_goal=jnp.array([2.0, 1.0, 0.0]),
+    )
+    x0 = jnp.zeros(3)
+    us0 = jnp.full((T, 2), 0.1)
+    res = ilqr(model, cost, x0, us0, dt, iters=40, mu=1e-2)
+    final = np.asarray(res.xs[-1])
+    assert np.linalg.norm(final[:2] - np.array([2.0, 1.0])) < 0.1
+
+
+def test_bicycle_rollout_straight_line():
+    from strided_tpu.models import bicycle
+    from strided_tpu.mpc import rollout
+
+    m = bicycle()
+    x0 = jnp.array([0.0, 0.0, 0.0, 1.0])  # moving at 1 m/s
+    us = jnp.zeros((100, 2))
+    xs = rollout(m, x0, us, dt=0.01)
+    np.testing.assert_allclose(float(xs[-1, 0]), 1.0, rtol=1e-5)  # x advanced 1m
+    np.testing.assert_allclose(float(xs[-1, 1]), 0.0, atol=1e-9)
