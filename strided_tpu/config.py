@@ -68,6 +68,9 @@ class Config:
     # passes — the default, since the reference is an exact/f64 CPU engine),
     # 'default' (single-pass bf16 — fastest), or 'high'.
     matmul_precision: str = os.environ.get("STRIDED_TPU_MATMUL_PRECISION", "highest")
+    # Pallas tile planning uses vmem_budget_bytes / divisor as the
+    # single-buffered footprint target (Pallas double-buffers and pads).
+    pallas_budget_divisor: int = _env_int("PALLAS_BUDGET_DIVISOR", 4)
 
 
 _config = Config()

@@ -193,7 +193,7 @@ def _run(f, op, initop, dims, out, ins, cfg):
     # Plan against a quarter of the VMEM budget: Pallas double-buffers every
     # operand block (2x) and register-tile padding inflates further; the
     # planner's footprint is single-buffered.
-    budget = cfg.vmem_budget_bytes // 4
+    budget = cfg.vmem_budget_bytes // max(1, cfg.pallas_budget_divisor)
     tiles = list(
         planner.compute_tiles(
             dims_o, costs, strides_o, itemsizes, budget, sublane, lane
