@@ -175,3 +175,19 @@ def test_engine_dispatch_consistency():
     without = run()
     cfg.set_config(use_pallas=True)
     np.testing.assert_allclose(with_pallas, without, rtol=1e-6)
+
+
+def test_symmetrize_special_kernel():
+    from strided_tpu.core.kernels_special import symmetrize
+
+    a = jnp.asarray(
+        np.random.default_rng(20).standard_normal((1024, 1024)), jnp.float32
+    )
+    r = np.asarray(symmetrize(a, tile=512))
+    an = np.asarray(a)
+    np.testing.assert_allclose(r, (an + an.T) / 2, rtol=1e-6)
+    # odd sizes and f64 fall back to the fused expression
+    b = jnp.asarray(np.random.default_rng(21).standard_normal((100, 100)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(symmetrize(b)), (np.asarray(b) + np.asarray(b).T) / 2, rtol=1e-6
+    )

@@ -97,3 +97,24 @@ def test_checkpoint_roundtrip(tmp_path):
     # structure mismatch must raise
     with pytest.raises(ValueError):
         load_pytree(p, {"not": "a controller", "x": jnp.zeros(3)})
+
+
+def test_timing_helpers_on_cpu():
+    from strided_tpu.utils import time_fn, time_chained, bandwidth_gbs
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((64, 64))
+    t1 = time_fn(f, x, inner=2, repeats=1, warmup=1)
+    t2 = time_chained(f, x, inner=2, repeats=1)
+    assert t1 > 0 and t2 > 0
+    assert bandwidth_gbs(1e9, 1.0) == 1.0
+
+
+def test_profiling_timer_and_annotation():
+    from strided_tpu.utils import Timer, annotate
+
+    out = []
+    with Timer("phase", sink=out.append):
+        with annotate("inner"):
+            _ = jnp.ones(8) + 1
+    assert out and "phase" in out[0]
