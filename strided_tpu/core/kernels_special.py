@@ -39,40 +39,86 @@ except Exception:  # pragma: no cover
 __all__ = ["symmetrize"]
 
 
-def _sym_kernel(ii_ref, jj_ref, a_hbm, out_hbm, s_in1, s_in2, s_out, sems):
-    step = pl.program_id(0)
-    i = ii_ref[step]
-    j = jj_ref[step]
-    T = s_in1.shape[0]
+def _make_sym_kernel(nsteps: int, T: int):
+    """Double-buffered tile-pair kernel: step k prefetches step k+1's input
+    tiles while computing, and output DMAs drain two steps behind. Diagonal
+    pairs (i == j) issue both writes to the same tile (identical data) so
+    the semaphore schedule stays statically balanced."""
 
-    in1 = pltpu.make_async_copy(
-        a_hbm.at[pl.ds(i * T, T), pl.ds(j * T, T)], s_in1, sems.at[0]
-    )
-    in2 = pltpu.make_async_copy(
-        a_hbm.at[pl.ds(j * T, T), pl.ds(i * T, T)], s_in2, sems.at[1]
-    )
-    in1.start()
-    in2.start()
-    in1.wait()
-    in2.wait()
+    def kernel(ii_ref, jj_ref, a_hbm, out_hbm, s_in, s_out, in_sems, out_sems):
+        step = pl.program_id(0)
+        slot = lax.rem(step, 2)
+        nxt = lax.rem(step + 1, 2)
 
-    s_out[...] = (s_in1[...] + s_in2[...].T) * 0.5
+        def in_dmas(sl, st_):
+            i = ii_ref[st_]
+            j = jj_ref[st_]
+            return (
+                pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(i * T, T), pl.ds(j * T, T)],
+                    s_in.at[sl, 0],
+                    in_sems.at[sl, 0],
+                ),
+                pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(j * T, T), pl.ds(i * T, T)],
+                    s_in.at[sl, 1],
+                    in_sems.at[sl, 1],
+                ),
+            )
 
-    o1 = pltpu.make_async_copy(
-        s_out, out_hbm.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[2]
-    )
-    o1.start()
-    o1.wait()
+        def out_dmas(sl, st_):
+            i = ii_ref[st_]
+            j = jj_ref[st_]
+            return (
+                pltpu.make_async_copy(
+                    s_out.at[sl, 0],
+                    out_hbm.at[pl.ds(i * T, T), pl.ds(j * T, T)],
+                    out_sems.at[sl, 0],
+                ),
+                pltpu.make_async_copy(
+                    s_out.at[sl, 1],
+                    out_hbm.at[pl.ds(j * T, T), pl.ds(i * T, T)],
+                    out_sems.at[sl, 1],
+                ),
+            )
 
-    @pl.when(j != i)
-    def _():
-        # reuse s_in1 as scratch for the transposed tile
-        s_in1[...] = s_out[...].T
-        o2 = pltpu.make_async_copy(
-            s_in1, out_hbm.at[pl.ds(j * T, T), pl.ds(i * T, T)], sems.at[3]
-        )
-        o2.start()
-        o2.wait()
+        @pl.when(step == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            for d in in_dmas(nxt, step + 1):
+                d.start()
+
+        for d in in_dmas(slot, step):
+            d.wait()
+
+        # Guard out-slot reuse: the DMAs launched two steps ago from this
+        # slot must have drained before we overwrite s_out[slot].
+        @pl.when(step >= 2)
+        def _():
+            for d in out_dmas(slot, step - 2):
+                d.wait()
+
+        S = (s_in[slot, 0] + s_in[slot, 1].T) * 0.5
+        s_out[slot, 0] = S
+        s_out[slot, 1] = S.T
+        for d in out_dmas(slot, step):
+            d.start()
+
+        @pl.when(step == nsteps - 1)
+        def _():
+            for d in out_dmas(slot, step):
+                d.wait()
+            if nsteps >= 2:
+                @pl.when(step >= 1)
+                def _():
+                    for d in out_dmas(nxt, step - 1):
+                        d.wait()
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -105,14 +151,14 @@ def symmetrize(a: jax.Array, tile: int = 512) -> jax.Array:
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile), a.dtype),
-            pltpu.VMEM((tile, tile), a.dtype),
-            pltpu.VMEM((tile, tile), a.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 2, tile, tile), a.dtype),  # in slots x {A_ij, A_ji}
+            pltpu.VMEM((2, 2, tile, tile), a.dtype),  # out slots x {S, S^T}
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
-        _sym_kernel,
+        _make_sym_kernel(len(pairs), tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, n), a.dtype),
         interpret=interpret,
