@@ -47,8 +47,8 @@ def _make_sym_kernel(nsteps: int, T: int):
 
     def kernel(ii_ref, jj_ref, a_hbm, out_hbm, s_in, s_out, in_sems, out_sems):
         step = pl.program_id(0)
-        slot = lax.rem(step, 2)
-        nxt = lax.rem(step + 1, 2)
+        slot = step % 2
+        nxt = (step + 1) % 2
 
         def in_dmas(sl, st_):
             i = ii_ref[st_]
