@@ -60,16 +60,16 @@ def bench_mpc_solves(batch=4096, horizon=50, admm_iters=20):
 
 
 def bench_permute_bandwidth(n=8192):
-    """Fused symmetrize B = (A + A')/2 — benchmark #1 family; reports GB/s."""
+    """Fused symmetrize B = (A + A')/2 — benchmark #1 family; reports GB/s.
+
+    Uses the two-pass tile-pair Pallas kernel (``st.symmetrize``), the
+    package's fast path for this workload; the generic ``strided_jit``
+    engine path is the fallback it degrades to on non-square/odd shapes.
+    """
     import strided_tpu as st
 
     a = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)), jnp.float32)
-
-    @st.strided_jit
-    def symmetrize(x):
-        return (x + st.transpose(x)) / 2
-
-    sec = time_chained(symmetrize, a, inner=20)
+    sec = time_chained(lambda x: st.symmetrize(x, tile=512), a, inner=20)
     nbytes = a.size * 4 * 2  # one fused read of A + one write
     return nbytes / sec / 1e9, sec
 

@@ -148,8 +148,8 @@ def symmetrize(a: jax.Array, tile: int = 512) -> jax.Array:
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(len(pairs),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 2, tile, tile), a.dtype),  # in slots x {A_ij, A_ji}
             pltpu.VMEM((2, 2, tile, tile), a.dtype),  # out slots x {S, S^T}
