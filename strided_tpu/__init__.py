@@ -36,7 +36,7 @@ from .core.mapreduce import (  # noqa: F401
     mapreducedim_into,
     fused_mapreduce,
 )
-from .core.broadcast import sbroadcast, sbroadcast_into  # noqa: F401
+from .core.broadcast import sbroadcast, sbroadcast_into, StridedExpr  # noqa: F401
 from .linalg import mul, matmul, axpy, axpby, lmul, rmul, scale_into, contract  # noqa: F401
 from .api import strided_jit, maybe_strided, maybe_unstrided, to_array  # noqa: F401
 from .core.kernels_special import symmetrize  # noqa: F401

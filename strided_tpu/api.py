@@ -25,6 +25,7 @@ import numpy as np
 
 from .core.view import StridedView, strided
 from .core.regularize import materialize
+from .core.lazy_expr import StridedExpr
 
 __all__ = ["strided_jit", "maybe_strided", "maybe_unstrided", "to_array"]
 
@@ -40,19 +41,22 @@ def maybe_strided(x):
 
 
 def maybe_unstrided(x):
-    """StridedView -> dense array; anything else passes through
-    (``maybeunstrided``, `/root/reference/src/macros.jl:35-43`). A trivial
-    full view returns its parent reshaped (no copy), mirroring the
-    reference's parent-return fast path."""
-    if isinstance(x, StridedView):
+    """StridedView (or lazy expression) -> dense array; anything else passes
+    through (``maybeunstrided``, `/root/reference/src/macros.jl:35-43`). A
+    pending :class:`StridedExpr` collapses into one fused kernel here."""
+    if isinstance(x, (StridedView, StridedExpr)):
         return to_array(x)
     return x
 
 
-def to_array(v: StridedView, dtype=None) -> jax.Array:
-    """Materialize a view to a dense array, optionally converting dtype
-    through the same fused pass (`/root/reference/src/convert.jl:3-15`)."""
-    arr = materialize(v)
+def to_array(v, dtype=None) -> jax.Array:
+    """Materialize a view or lazy expression to a dense array, optionally
+    converting dtype through the same fused pass
+    (`/root/reference/src/convert.jl:3-15`)."""
+    if isinstance(v, StridedExpr):
+        arr = v.materialize()
+    else:
+        arr = materialize(v)
     if dtype is not None:
         arr = arr.astype(dtype)
     return arr
@@ -82,7 +86,7 @@ def strided_jit(fun: Optional[Callable] = None, **jit_kwargs):
             return jax.tree_util.tree_map(
                 maybe_unstrided,
                 out,
-                is_leaf=lambda x: isinstance(x, StridedView),
+                is_leaf=lambda x: isinstance(x, (StridedView, StridedExpr)),
             )
 
         return jax.jit(inner, **jit_kwargs)

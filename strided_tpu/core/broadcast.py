@@ -31,8 +31,9 @@ import numpy as np
 from .view import StridedView, StridedLayoutError, strided, broadcast_to
 from .mapreduce import fused_mapreduce
 from .regularize import materialize
+from .lazy_expr import StridedExpr, flatten_operands, _install_operators
 
-__all__ = ["sbroadcast", "sbroadcast_into", "broadcast_views"]
+__all__ = ["sbroadcast", "sbroadcast_into", "broadcast_views", "StridedExpr"]
 
 
 def _broadcast_shape(*shapes):
@@ -60,40 +61,22 @@ def broadcast_views(shape, views):
     return out
 
 
-def _split_args(args):
-    """Split mixed args into (views, rebuild) where rebuild(arrays) restores
-    the full argument list with scalars in place — the CaptureArgs analog."""
-    views = []
-    slots = []  # 'v' -> next view, otherwise the literal value
-    for a in args:
-        if isinstance(a, StridedView):
-            views.append(a)
-            slots.append(None)
-        elif isinstance(a, (jax.Array, np.ndarray)) and getattr(a, "ndim", 0) > 0:
-            views.append(strided(a))
-            slots.append(None)
-        else:
-            slots.append(a)
-
-    def rebuild(arrays):
-        it = iter(arrays)
-        return [next(it) if s is None else s for s in slots]
-
-    return views, rebuild
-
-
 def sbroadcast(f: Callable, *args) -> StridedView:
-    """Allocating fused broadcast: ``f.(args...)`` in reference terms."""
-    views, rebuild = _split_args(args)
+    """Allocating fused broadcast: ``f.(args...)`` in reference terms.
+
+    Args may be views, lazy :class:`StridedExpr` trees (their leaves are
+    inlined — the whole composed expression runs as ONE kernel), dense
+    arrays, or scalars (closed over in argument order, the ``CaptureArgs``
+    analog, `/root/reference/src/broadcast.jl:67-98`)."""
+    g, views = flatten_operands(f, args)
     if not views:
         return strided(jnp.asarray(f(*args)))
     shape = _broadcast_shape(*[v.shape for v in views])
     bviews = broadcast_views(shape, views)
     # Result dtype via abstract eval on scalars.
     scal = [jax.ShapeDtypeStruct((), v.dtype) for v in views]
-    rdt = jax.eval_shape(lambda *a: f(*rebuild(list(a))), *scal).dtype
+    rdt = jax.eval_shape(g, *scal).dtype
     out = strided(jnp.zeros(shape, rdt))
-    g = lambda *arrays: f(*rebuild(list(arrays)))
     if math.prod(shape) == 0:
         return out
     return fused_mapreduce(g, None, None, shape, out, bviews)
@@ -102,7 +85,7 @@ def sbroadcast(f: Callable, *args) -> StridedView:
 def sbroadcast_into(out, f: Callable, *args) -> StridedView:
     """In-place fused broadcast: ``out .= f.(args...)``."""
     out = out if isinstance(out, StridedView) else strided(out)
-    views, rebuild = _split_args(args)
+    g, views = flatten_operands(f, args)
     shape = tuple(out.shape)
     bshape = _broadcast_shape(shape, *[v.shape for v in views])
     if tuple(bshape) != shape:
@@ -110,50 +93,19 @@ def sbroadcast_into(out, f: Callable, *args) -> StridedView:
             f"broadcast result shape {bshape} does not match output {shape}"
         )
     bviews = broadcast_views(shape, views)
-    g = lambda *arrays: f(*rebuild(list(arrays)))
     if math.prod(shape) == 0:
         return out
     return fused_mapreduce(g, None, None, shape, out, bviews)
 
 
 # ---------------------------------------------------------------------------
-# operator overloads on StridedView (eager fused broadcast, like the
-# reference's dot-syntax over StridedViews)
+# operator overloads on StridedView: LAZY — they build a StridedExpr tree
+# that any consumer collapses into one fused kernel, exactly like the
+# reference's dot-syntax building a Broadcasted tree
+# (`/root/reference/src/broadcast.jl:27-37`).
 # ---------------------------------------------------------------------------
 
-
-def _binop(f):
-    def fwd(self, other):
-        return sbroadcast(f, self, other)
-
-    def rev(self, other):
-        return sbroadcast(f, other, self)
-
-    return fwd, rev
-
-
-for _name, _f in [
-    ("add", jnp.add),
-    ("sub", jnp.subtract),
-    ("mul", jnp.multiply),
-    ("truediv", jnp.true_divide),
-    ("pow", jnp.power),
-    ("mod", jnp.mod),
-]:
-    _fwd, _rev = _binop(_f)
-    setattr(StridedView, f"__{_name}__", _fwd)
-    setattr(StridedView, f"__r{_name}__", _rev)
-
-for _name, _f in [
-    ("lt", jnp.less),
-    ("le", jnp.less_equal),
-    ("gt", jnp.greater),
-    ("ge", jnp.greater_equal),
-]:
-    setattr(StridedView, f"__{_name}__", _binop(_f)[0])
-
-StridedView.__neg__ = lambda self: sbroadcast(jnp.negative, self)
-StridedView.__abs__ = lambda self: sbroadcast(jnp.abs, self)
+_install_operators(StridedView)
 StridedView.__array__ = lambda self, dtype=None: np.asarray(
     materialize(self), dtype=dtype
 )

@@ -181,13 +181,21 @@ def _run(f, op, initop, dims, out, ins, cfg):
     # ---- tiles ----
     itemsizes = tuple(v.dtype.itemsize for v in operands)
     # Alignment per logical dim: lane (128) where any operand has its
-    # physical minor axis, sublane (8) for second-minor.
+    # physical minor axis, sublane (8, scaled by sub-word packing) for
+    # second-minor. A physically 1-D operand folds both register dims into
+    # its single axis, so its block must be a multiple of sublane*lane
+    # (1024 for f32 — Mosaic's 1-D memref tiling).
     align = [1] * r
-    for dec in decs:
-        if dec.real_axes:
+    for dec, v in zip(decs, operands):
+        if not dec.real_axes:
+            continue
+        pack = max(1, 4 // v.dtype.itemsize)  # bf16 packs 2 per 32-bit word
+        if len(dec.real_axes) == 1:
+            a = dec.real_axes[-1]
+            align[a] = max(align[a], 8 * pack * 128)
+        else:
             align[dec.real_axes[-1]] = max(align[dec.real_axes[-1]], 128)
-        if len(dec.real_axes) > 1:
-            align[dec.real_axes[-2]] = max(align[dec.real_axes[-2]], 8)
+            align[dec.real_axes[-2]] = max(align[dec.real_axes[-2]], 8 * pack)
     sublane = 8
     lane = 128
     # Plan against a quarter of the VMEM budget: Pallas double-buffers every

@@ -41,6 +41,7 @@ from jax import lax
 
 from .view import StridedView, StridedLayoutError, strided, broadcast_to, sreshape
 from .regularize import materialize, scatter_into
+from .lazy_expr import StridedExpr, as_expr_parts
 from ..config import get_config
 
 __all__ = [
@@ -131,7 +132,11 @@ def _reduce_vals(op: Callable, vals: jax.Array, axes: Tuple[int, ...]) -> jax.Ar
 
 
 def _as_view(x) -> StridedView:
-    return x if isinstance(x, StridedView) else strided(x)
+    if isinstance(x, StridedView):
+        return x
+    if isinstance(x, StridedExpr):
+        return x.evaluate()
+    return strided(x)
 
 
 def fused_mapreduce(
@@ -224,26 +229,40 @@ def _check_same_shape(views):
 
 def map_into(out, f: Callable, *ins) -> StridedView:
     """``out .= f.(ins...)`` — analog of ``Base.map!``
-    (`/root/reference/src/mapreduce.jl:38-53`). Shapes must match exactly."""
+    (`/root/reference/src/mapreduce.jl:38-53`). Shapes must match exactly.
+    Inputs may be lazy :class:`StridedExpr` trees (leaves inlined: one
+    fused kernel)."""
+    from .lazy_expr import flatten_operands
+    from .broadcast import broadcast_views
+
     out = _as_view(out)
-    views = [_as_view(v) for v in ins]
-    _check_same_shape([out, *views])
+    shapes = {tuple(out.shape)} | {tuple(v.shape) for v in ins}
+    if len(shapes) > 1:
+        raise StridedLayoutError(f"shape mismatch across operands: {shapes}")
     if out.size == 0:
         return out
-    return fused_mapreduce(f, None, None, out.shape, out, views)
+    g, views = flatten_operands(f, ins)
+    bviews = broadcast_views(out.shape, views)
+    return fused_mapreduce(g, None, None, out.shape, out, bviews)
 
 
 def smap(f: Callable, *ins) -> StridedView:
     """Allocating map with dtype promotion — analog of ``Base.map``
     (`/root/reference/src/mapreduce.jl:32-36`)."""
-    views = [_as_view(v) for v in ins]
-    _check_same_shape(views)
-    shape = views[0].shape
-    rdt = jax.eval_shape(f, *[jax.ShapeDtypeStruct((), v.dtype) for v in views]).dtype
+    from .lazy_expr import flatten_operands
+    from .broadcast import broadcast_views
+
+    shapes = {tuple(v.shape) for v in ins}
+    if len(shapes) > 1:
+        raise StridedLayoutError(f"shape mismatch across operands: {shapes}")
+    shape = shapes.pop() if shapes else ()
+    g, views = flatten_operands(f, ins)
+    bviews = broadcast_views(shape, views)
+    rdt = jax.eval_shape(g, *[jax.ShapeDtypeStruct((), v.dtype) for v in bviews]).dtype
     out = strided(jnp.zeros(shape, rdt))
     if math.prod(shape) == 0:
         return out
-    return fused_mapreduce(f, None, None, shape, out, views)
+    return fused_mapreduce(g, None, None, shape, out, bviews)
 
 
 def copy_into(out, src) -> StridedView:
@@ -280,43 +299,54 @@ def sreduce(f: Callable, op: Callable, v, init=None):
 
     Mirrors ``_mapreduce`` (`/root/reference/src/mapreduce.jl:55-72`): build a
     one-element output and reshape it (lazily) to an all-ones shape so every
-    reduction dim has stride 0."""
-    v = _as_view(v)
-    if v.size == 0:
+    reduction dim has stride 0. ``v`` may be a lazy :class:`StridedExpr`:
+    its leaves are inlined so map + reduce run as ONE fused pass."""
+    from .broadcast import broadcast_views
+
+    g, leaves, shape = as_expr_parts(v)
+    total_f = lambda *arrs: f(g(*arrs))
+    ndim = len(shape)
+    size = math.prod(shape)
+    if size == 0:
         if init is None:
             raise StridedLayoutError("reduction over empty view requires init")
         return jnp.asarray(init)
-    shape = v.shape
-    rdt = jax.eval_shape(f, jax.ShapeDtypeStruct((), v.dtype)).dtype
+    bviews = broadcast_views(shape, leaves)
+    scal = [jax.ShapeDtypeStruct((), b.dtype) for b in bviews]
+    rdt = jax.eval_shape(total_f, *scal).dtype
     if init is None:
         ident = reduce_identity(op, rdt)
-        seed = jnp.zeros((), rdt) if ident is None else ident
-        initop = (lambda x: jnp.full_like(x, seed)) if ident is not None else None
+        initop = (lambda x: jnp.full_like(x, ident)) if ident is not None else None
         if ident is None:
-            # Unknown identity: seed the accumulator with f of the first
-            # element via the fold inside _reduce_vals; start out at f(x0)
-            # and fold the rest — handled by using initop=None and an
-            # op-neutral start: materialize and fold directly.
-            vals = f(materialize(v))
-            return _reduce_vals(op, vals, tuple(range(v.ndim)))
+            # Unknown identity: materialize (fused) and fold sequentially —
+            # the reference errors here under threading, we stay serial.
+            vals = total_f(*[materialize(b) for b in bviews])
+            return _reduce_vals(op, jnp.broadcast_to(vals, shape), tuple(range(ndim)))
     else:
         initop = lambda x: jnp.full_like(x, jnp.asarray(init, rdt))
-    out = strided(jnp.zeros((1,) * max(v.ndim, 1), rdt))
-    out = StridedView(out.parent, v.shape, (0,) * v.ndim, 0, False)
-    res = fused_mapreduce(f, op, initop, v.shape, out, [v])
+    out = strided(jnp.zeros((1,) * max(ndim, 1), rdt))
+    out = StridedView(out.parent, shape, (0,) * ndim, 0, False)
+    res = fused_mapreduce(total_f, op, initop, shape, out, bviews)
     return res.parent[0]
 
 
 def sreduce_dims(f: Callable, op: Callable, v, axes, init=None) -> StridedView:
     """Partial reduction over ``axes`` — analog of ``Base.mapreducedim!``
     (`/root/reference/src/mapreduce.jl:25-30,74-84`). Returns a StridedView
-    with the reduced dims kept at size 1."""
-    v = _as_view(v)
+    with the reduced dims kept at size 1. ``v`` may be a lazy
+    :class:`StridedExpr` (fused map + partial reduce in one pass)."""
+    from .broadcast import broadcast_views
+
+    g, leaves, shape = as_expr_parts(v)
+    total_f = lambda *arrs: f(g(*arrs))
+    ndim = len(shape)
     if isinstance(axes, int):
         axes = (axes,)
-    axes = tuple(sorted(range(v.ndim)[a] for a in axes))
-    rdt = jax.eval_shape(f, jax.ShapeDtypeStruct((), v.dtype)).dtype
-    out_shape = tuple(1 if i in axes else d for i, d in enumerate(v.shape))
+    axes = tuple(sorted(range(ndim)[a] for a in axes))
+    bviews = broadcast_views(shape, leaves)
+    scal = [jax.ShapeDtypeStruct((), b.dtype) for b in bviews]
+    rdt = jax.eval_shape(total_f, *scal).dtype
+    out_shape = tuple(1 if i in axes else d for i, d in enumerate(shape))
     ident = reduce_identity(op, rdt)
     if init is not None:
         seed = jnp.asarray(init, rdt)
@@ -329,8 +359,8 @@ def sreduce_dims(f: Callable, op: Callable, v, axes, init=None) -> StridedView:
         )
     out = strided(jnp.zeros(out_shape, rdt))
     # Broadcast the output over the reduced dims: stride 0 there.
-    out_b = broadcast_to(out, v.shape) if out_shape != v.shape else out
-    res = fused_mapreduce(f, op, initop, v.shape, out_b, [v])
+    out_b = broadcast_to(out, shape) if out_shape != shape else out
+    res = fused_mapreduce(total_f, op, initop, shape, out_b, bviews)
     return StridedView(res.parent, out_shape, out.strides, 0, False)
 
 
