@@ -24,7 +24,7 @@ import jax.numpy as jnp
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE.md: 10k solves/s on v5e-8
 
 
-from strided_tpu.utils.timing import time_fn, time_chained  # noqa: E402
+from strided_tpu.utils.timing import time_fn, time_chained, time_slope  # noqa: E402
 
 
 def bench_mpc_solves(batch=4096, horizon=50, admm_iters=20):
@@ -51,8 +51,9 @@ def bench_mpc_solves(batch=4096, horizon=50, admm_iters=20):
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-0.3, 0.3, (batch, 12)), dtype)
-    # chained: each step feeds the next state (defeats dispatch caching)
-    sec = time_chained(step, x, inner=20)
+    # slope timing: closed-loop steps chained inside one program at two loop
+    # lengths; the difference cancels the ~25 ms/dispatch tunnel overhead
+    sec = time_slope(step, x, k1=8, k2=40)
     solves_per_s = batch / sec
     # sanity: controller regulates (finite outputs)
     assert np.isfinite(np.asarray(step(x))).all()
@@ -69,7 +70,7 @@ def bench_permute_bandwidth(n=8192):
     import strided_tpu as st
 
     a = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)), jnp.float32)
-    sec = time_chained(lambda x: st.symmetrize(x, tile=512), a, inner=20)
+    sec = time_slope(lambda x: st.symmetrize(x, tile=512), a, k1=8, k2=40)
     nbytes = a.size * 4 * 2  # one fused read of A + one write
     return nbytes / sec / 1e9, sec
 

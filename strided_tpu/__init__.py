@@ -35,6 +35,11 @@ from .core.mapreduce import (  # noqa: F401
     sreduce_dims,
     mapreducedim_into,
     fused_mapreduce,
+    ssum,
+    sprod,
+    smax,
+    smin,
+    smean,
 )
 from .core.broadcast import sbroadcast, sbroadcast_into, StridedExpr  # noqa: F401
 from .linalg import mul, matmul, axpy, axpby, lmul, rmul, scale_into, contract  # noqa: F401

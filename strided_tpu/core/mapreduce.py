@@ -378,3 +378,56 @@ def mapreducedim_into(f, op, initop, out, *ins) -> StridedView:
         # out must broadcast over reduced dims
         out = broadcast_to(out, dims)
     return fused_mapreduce(f, op, initop, dims, out, views)
+
+
+# ---------------------------------------------------------------------------
+# convenience reductions — the Base-function surface (`sum(A)`, `sum(A;dims)`,
+# `prod`, `maximum`, `minimum`, `mean` all work on StridedViews through the
+# reference engine, `/root/reference/test/othertests.jl:109-128`); these are
+# the same entry points with numpy-style axis arguments. All accept views OR
+# lazy StridedExpr trees (fused map + reduce in one pass).
+# ---------------------------------------------------------------------------
+
+
+def _conv_reduce(op, v, axis, init=None):
+    if axis is None:
+        return sreduce(lambda x: x, op, v, init=init)
+    return sreduce_dims(lambda x: x, op, v, axis, init=init)
+
+
+def ssum(v, axis=None):
+    """``sum(A)`` / ``sum(A; dims=axis)``."""
+    return _conv_reduce(jnp.add, v, axis)
+
+
+def sprod(v, axis=None):
+    """``prod(A)`` / ``prod(A; dims=axis)``."""
+    return _conv_reduce(jnp.multiply, v, axis)
+
+
+def smax(v, axis=None):
+    """``maximum(A)`` (NaN-propagating like Julia's ``max``)."""
+    return _conv_reduce(jnp.maximum, v, axis)
+
+
+def smin(v, axis=None):
+    """``minimum(A)``."""
+    return _conv_reduce(jnp.minimum, v, axis)
+
+
+def smean(v, axis=None):
+    """``mean(A)`` — fused sum divided by the (static) element count."""
+    g, leaves, shape = as_expr_parts(v)
+    if axis is None:
+        n = math.prod(shape)
+        return ssum(v) / n
+    axes = (axis,) if isinstance(axis, int) else tuple(axis)
+    axes = tuple(range(len(shape))[a] for a in axes)
+    n = math.prod(shape[a] for a in axes)
+    red = ssum(v, axis)
+    from .broadcast import sbroadcast
+
+    return sbroadcast(lambda x: x / n, red)
+
+
+__all__ += ["ssum", "sprod", "smax", "smin", "smean"]

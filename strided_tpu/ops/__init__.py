@@ -30,6 +30,11 @@ from ..core.mapreduce import (  # noqa: F401
     sreduce_dims,
     mapreducedim_into,
     fused_mapreduce,
+    ssum,
+    sprod,
+    smax,
+    smin,
+    smean,
 )
 from ..core.broadcast import sbroadcast, sbroadcast_into  # noqa: F401
 from ..core.regularize import materialize  # noqa: F401

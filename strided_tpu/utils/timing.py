@@ -60,5 +60,55 @@ def time_chained(fn: Callable, x, inner: int = 10, repeats: int = 3):
     return best
 
 
+def time_looped(fn: Callable, x, k: int = 16, repeats: int = 3):
+    """Per-application seconds of shape-preserving ``fn`` with ``k``
+    data-dependent applications chained INSIDE one jitted program.
+
+    On tunneled backends every dispatch costs ~1 ms of queue/RPC overhead,
+    so :func:`time_chained` cannot resolve kernels faster than that; this
+    harness amortizes the overhead device-side: one dispatch runs ``k``
+    chained steps via ``lax.fori_loop``, so per-step time reflects true
+    on-device throughput. Requires ``fn(x)`` to have x's shape/dtype."""
+    from jax import lax
+
+    @jax.jit
+    def loop(x):
+        return lax.fori_loop(0, k, lambda i, v: fn(v), x)
+
+    y = loop(x)  # compile + warm
+    _drain(y)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = loop(x)
+        _drain(y)
+        best = min(best, time.perf_counter() - t0)
+    return best / k
+
+
+def time_slope(fn: Callable, x, k1: int = 8, k2: int = 40, repeats: int = 3):
+    """True per-application seconds of shape-preserving ``fn`` with the flat
+    per-dispatch overhead cancelled exactly: time k1- and k2-step device-side
+    loops and return the slope ``(T_k2 - T_k1) / (k2 - k1)``."""
+    from jax import lax
+
+    def total(k):
+        @jax.jit
+        def loop(x):
+            return lax.fori_loop(0, k, lambda i, v: fn(v), x)
+
+        y = loop(x)
+        _drain(y)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            y = loop(x)
+            _drain(y)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (total(k2) - total(k1)) / (k2 - k1)
+
+
 def bandwidth_gbs(nbytes: int, seconds: float) -> float:
     return nbytes / seconds / 1e9

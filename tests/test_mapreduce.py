@@ -270,3 +270,32 @@ def test_fused_permute_sum():
     res = sbroadcast(lambda w, x, y, z: w + x + y + z, *views)
     expect = sum(np.transpose(a, p) for p in perms)
     np.testing.assert_allclose(np.asarray(materialize(res)), expect, rtol=1e-14)
+
+
+def test_convenience_reductions():
+    a = np.random.default_rng(42).standard_normal((7, 9))
+    v = st.strided(jnp.asarray(a))
+    np.testing.assert_allclose(float(st.ssum(v)), a.sum(), rtol=1e-12)
+    np.testing.assert_allclose(float(st.smax(v)), a.max(), rtol=1e-12)
+    np.testing.assert_allclose(float(st.smin(v)), a.min(), rtol=1e-12)
+    np.testing.assert_allclose(float(st.smean(v)), a.mean(), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(st.sprod(st.sbroadcast(jnp.abs, v))), np.prod(np.abs(a)), rtol=1e-9
+    )
+    # axis forms keep reduced dims at size 1 (Julia dims=... convention)
+    s1 = st.ssum(v, 1)
+    assert s1.shape == (7, 1)
+    np.testing.assert_allclose(
+        np.asarray(st.materialize(s1)).ravel(), a.sum(1), rtol=1e-12
+    )
+    m0 = st.smean(v, 0)
+    np.testing.assert_allclose(
+        np.asarray(st.materialize(m0)).ravel(), a.mean(0), rtol=1e-12
+    )
+    # over a lazy permuted view and over a lazy expression (fused)
+    np.testing.assert_allclose(float(st.ssum(st.transpose(v))), a.sum(), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(st.smax(v + st.transpose(st.strided(jnp.asarray(a.T))))),
+        (2 * a).max(),
+        rtol=1e-12,
+    )
