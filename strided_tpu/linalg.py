@@ -122,11 +122,17 @@ def _is_static_one(a) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _precision():
+def _precision(dtype=None):
     """MXU precision from config: the analog of choosing accurate BLAS —
     the reference's baseline is exact/f64 CPU math, so 'highest' (f32 via
-    bf16x3/x6 passes) is the default; set
-    STRIDED_TPU_MATMUL_PRECISION=default for raw-MXU bf16 speed."""
+    bf16x3/x6 passes) is the default for f32 operands; set
+    STRIDED_TPU_MATMUL_PRECISION=default for raw-MXU bf16 speed.
+
+    bf16 operands always use native MXU precision: bf16 inputs multiplied
+    exactly with f32 accumulation lose nothing, and the multi-pass HIGHEST
+    mode would only cost throughput."""
+    if dtype is not None and dtype == jnp.bfloat16:
+        return lax.Precision.DEFAULT
     name = get_config().matmul_precision.upper()
     return getattr(lax.Precision, name, lax.Precision.HIGHEST)
 
@@ -183,7 +189,7 @@ def _mul_mxu(C, A, B, alpha, beta) -> StridedView:
         b,
         (((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
-        precision=_precision(),
+        precision=_precision(a.dtype),
     )
     if not _is_static_one(alpha):
         res = alpha * res
@@ -234,7 +240,12 @@ def contract(subscripts: str, *operands, alpha=1) -> jax.Array:
     (`/root/reference/benchmarks/benchtests.jl:70-133`). Views lower to
     fusible recipes; XLA maps the contraction onto `dot_general`/MXU."""
     arrays = [materialize(_as_view(o)) for o in operands]
-    out = jnp.einsum(subscripts, *arrays, precision=_precision())
+    common = (
+        arrays[0].dtype
+        if all(x.dtype == arrays[0].dtype for x in arrays)
+        else None
+    )
+    out = jnp.einsum(subscripts, *arrays, precision=_precision(common))
     if not _is_static_one(alpha):
         out = alpha * out
     return out
