@@ -1,0 +1,157 @@
+"""Mesh-sharded engine ops — the cross-chip tier of the kernel engine.
+
+The reference scales one fused kernel across CPU cores by recursively
+splitting the loop dim with the largest ``(dims - 1) * costs`` over Julia
+tasks, never splitting reduction dims, and combining complete reductions
+through per-task accumulator slots (`/root/reference/src/mapreduce.jl:195-227,
+153-170, 172-177`). This module is the same scheduler re-expressed over a
+``jax.sharding.Mesh`` (SURVEY.md §2.2 rows 1-2):
+
+- :func:`choose_split_dim` — the exact split-dim rule (max ``(d-1)*cost``
+  with the last argmax, `/root/reference/src/mapreduce.jl:203,452-460`)
+  restricted to non-reduction dims (the cost-zeroing race rule,
+  `/root/reference/src/mapreduce.jl:172-177`).
+- :func:`sharded_smap` / :func:`sharded_reduce` — run the fused engine with
+  the chosen iteration dim annotated onto a mesh axis; XLA's GSPMD
+  partitioner splits the fused kernel across chips and inserts the
+  ``psum``-class collectives for reduction dims (the accumulator-combine of
+  the reference, riding ICI instead of shared memory).
+
+Tasks→``wait`` becomes sharding-annotation→collective: the scheduling itself
+moves into the compiler, which is the idiomatic TPU division of labor.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.view import StridedView
+from ..core.lazy_expr import StridedExpr, as_expr_parts
+from ..core.regularize import materialize
+from ..core import planner
+
+__all__ = ["choose_split_dim", "sharded_smap", "sharded_reduce"]
+
+
+def choose_split_dim(
+    dims: Tuple[int, ...],
+    all_strides: Tuple[Tuple[int, ...], ...],
+    reduction_dims: Tuple[int, ...] = (),
+) -> Optional[int]:
+    """Pick the dim to shard: largest ``(d - 1) * cost`` among non-reduction
+    dims, last argmax on ties — the task scheduler's split rule
+    (`/root/reference/src/mapreduce.jl:203`, ``_lastargmax`` `:452-460`)
+    with reduction dims excluded by construction (`:172-177`)."""
+    _, dims_o, strides_o, costs = planner.order_dims(dims, all_strides)
+    # order_dims permutes; we want the original axis id — recompute costs in
+    # the ORIGINAL axis order instead (cost = 2*min nonzero |stride|, 0 -> 1).
+    best, best_i = -1, None
+    for i in range(len(dims)):
+        if i in reduction_dims or dims[i] <= 1:
+            continue
+        mn = min(abs(s[i]) for s in all_strides)
+        cost = 1 if mn == 0 else 2 * mn
+        score = (dims[i] - 1) * cost
+        if score >= best:
+            best, best_i = score, i
+    return best_i
+
+
+def _constrain(arr: jax.Array, mesh: Mesh, dim: int, axis_name: str):
+    spec = [None] * arr.ndim
+    if arr.ndim:
+        spec[dim] = axis_name
+    return lax.with_sharding_constraint(arr, NamedSharding(mesh, P(*spec)))
+
+
+def sharded_smap(
+    f: Callable,
+    mesh: Mesh,
+    *args,
+    axis_name: str = "data",
+    split_dim: Optional[int] = None,
+):
+    """Fused elementwise map over views/expressions with the iteration space
+    sharded over ``mesh`` along the planner-chosen dim. Returns a dense
+    array sharded along that dim.
+
+    Must run under ``jax.jit`` for GSPMD to partition (eager mode still
+    computes correctly)."""
+    parts = [as_expr_parts(a) for a in args]
+    shape = jnp.broadcast_shapes(*[p[2] for p in parts])
+    if split_dim is None:
+        all_strides = tuple(
+            tuple(v.strides) for _, leaves, _ in parts for v in leaves
+            if tuple(v.shape) == tuple(shape)
+        ) or ((tuple(0 for _ in shape)),)
+        split_dim = choose_split_dim(tuple(shape), all_strides)
+    dense = []
+    for g, leaves, _ in parts:
+        arrs = []
+        for v in leaves:
+            arr = materialize(v)
+            arr = jnp.broadcast_to(arr, shape)
+            if split_dim is not None:
+                arr = _constrain(arr, mesh, split_dim, axis_name)
+            arrs.append(arr)
+        dense.append(g(*arrs))
+    out = f(*dense)
+    if split_dim is not None:
+        out = _constrain(out, mesh, split_dim, axis_name)
+    return out
+
+
+def sharded_reduce(
+    f: Callable,
+    op: Callable,
+    v,
+    mesh: Mesh,
+    axes: Optional[Sequence[int]] = None,
+    axis_name: str = "data",
+    split_dim: Optional[int] = None,
+):
+    """Fused map+reduce over a view/expression with the input sharded over
+    the mesh. Partial reductions shard a KEPT dim (device-disjoint outputs,
+    race-free by construction); complete reductions shard a reduced dim and
+    let GSPMD insert the ``psum`` — the accumulator-slot combine of
+    `/root/reference/src/mapreduce.jl:153-170` as an ICI all-reduce.
+
+    Returns a dense array (reduced dims dropped), or a 0-d array for a
+    complete reduction."""
+    g, leaves, shape = as_expr_parts(v)
+    ndim = len(shape)
+    if axes is None:
+        axes = tuple(range(ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(sorted(range(ndim)[a] for a in axes))
+    kept = tuple(i for i in range(ndim) if i not in axes)
+    if split_dim is None:
+        all_strides = tuple(
+            tuple(x.strides) for x in leaves if tuple(x.shape) == tuple(shape)
+        ) or ((tuple(0 for _ in shape)),)
+        if kept:
+            split_dim = choose_split_dim(tuple(shape), all_strides, reduction_dims=axes)
+        else:
+            # complete reduction: shard the biggest reduced dim; the combine
+            # is a collective, not a race.
+            split_dim = max(axes, key=lambda i: shape[i]) if axes else None
+    arrs = []
+    for x in leaves:
+        arr = jnp.broadcast_to(materialize(x), shape)
+        if split_dim is not None and shape[split_dim] > 1:
+            arr = _constrain(arr, mesh, split_dim, axis_name)
+        arrs.append(arr)
+    vals = f(g(*arrs))
+    from ..core.mapreduce import _reduce_vals
+
+    out = _reduce_vals(op, vals, axes)
+    if kept and split_dim is not None and split_dim in kept:
+        out_dim = kept.index(split_dim)
+        out = _constrain(out, mesh, out_dim, axis_name)
+    return out
