@@ -71,6 +71,12 @@ class Config:
     # Pallas tile planning uses vmem_budget_bytes / divisor as the
     # single-buffered footprint target (Pallas double-buffers and pads).
     pallas_budget_divisor: int = _env_int("PALLAS_BUDGET_DIVISOR", 4)
+    # Route reductions (op != None) through the Pallas tile path. Default
+    # OFF: measured on v5e, XLA streams fused reductions at 575-670 GB/s
+    # while the revisiting-accumulator Pallas grid does 28-103 GB/s — XLA's
+    # reduction codegen is the better scheduler, so the engine only uses
+    # Pallas tiles for pure maps (where it wins, 270-340 vs 260-300 GB/s).
+    pallas_reductions: bool = _env_bool("PALLAS_REDUCTIONS", False)
 
 
 _config = Config()

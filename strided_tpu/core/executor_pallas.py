@@ -124,6 +124,8 @@ def _run(f, op, initop, dims, out, ins, cfg):
     red0 = tuple(
         i for i in range(len(dims)) if out.strides[i] == 0 and dims[i] != 1
     )
+    if op is not None and red0 and not cfg.pallas_reductions:
+        raise _Ineligible  # XLA streams reductions faster (see config.py)
     _reducer = _reducer_for(op) if (op is not None and red0) else None
     if op is not None and red0 and _reducer is None:
         raise _Ineligible  # unknown reduction op: XLA fold path handles it

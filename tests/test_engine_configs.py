@@ -26,12 +26,16 @@ from strided_tpu.core.regularize import materialize
 def engine(request):
     old = cfg.get_config()
     if request.param == "pallas":
-        cfg.set_config(use_pallas=True, min_pallas_elements=256)
+        cfg.set_config(
+            use_pallas=True, min_pallas_elements=256, pallas_reductions=True
+        )
     else:
         cfg.set_config(use_pallas=False)
     yield request.param
     cfg.set_config(
-        use_pallas=old.use_pallas, min_pallas_elements=old.min_pallas_elements
+        use_pallas=old.use_pallas,
+        min_pallas_elements=old.min_pallas_elements,
+        pallas_reductions=old.pallas_reductions,
     )
 
 

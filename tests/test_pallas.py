@@ -18,11 +18,15 @@ from strided_tpu.core.regularize import materialize
 @pytest.fixture(autouse=True)
 def small_threshold():
     old = cfg.get_config()
-    cfg.set_config(min_pallas_elements=1024)
+    # pallas_reductions on: these tests pin the Pallas reduce machinery's
+    # correctness (initop-once, sequential reduction grid) even though the
+    # production default routes reductions to XLA (config.py rationale).
+    cfg.set_config(min_pallas_elements=1024, pallas_reductions=True)
     yield
     cfg.set_config(
         min_pallas_elements=old.min_pallas_elements,
         vmem_budget_bytes=old.vmem_budget_bytes,
+        pallas_reductions=old.pallas_reductions,
     )
 
 
