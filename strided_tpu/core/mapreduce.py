@@ -101,6 +101,20 @@ def _reduce_vals(op: Callable, vals: jax.Array, axes: Tuple[int, ...]) -> jax.Ar
     a sequential fold seeded by the first slice — no identity needed. The
     reference makes the same split: known identities thread, unknown ops run
     serially (`/root/reference/src/mapreduce.jl:182-191`)."""
+    # Native reducers first: XLA recognizes them (e.g. sum∘transpose is
+    # rewritten to a direct streaming sum; a lax.reduce with an opaque
+    # lambda computation is not algebraically simplified the same way).
+    table = [
+        ((operator.add, jnp.add), jnp.sum),
+        ((operator.mul, jnp.multiply), jnp.prod),
+        ((jnp.minimum,), jnp.min),
+        ((jnp.maximum,), jnp.max),
+        ((jnp.logical_and,), jnp.all),
+        ((jnp.logical_or,), jnp.any),
+    ]
+    for ops_, red in table:
+        if any(op is o for o in ops_):
+            return red(vals, axis=axes)
     ident = reduce_identity(op, vals.dtype)
     if ident is not None:
         return lax.reduce(
@@ -314,6 +328,36 @@ def sreduce(f: Callable, op: Callable, v, init=None):
     bviews = broadcast_views(shape, leaves)
     scal = [jax.ShapeDtypeStruct((), b.dtype) for b in bviews]
     rdt = jax.eval_shape(total_f, *scal).dtype
+
+    # Layout-invariance fast path: a complete reduction with a commutative
+    # op over a single bijective view visits every parent element exactly
+    # once, in SOME order — so reduce the flat parent directly and skip the
+    # whole transpose/reshape recipe (the analog of the reference collapsing
+    # a full reduction to one linear loop via dim fusion,
+    # `/root/reference/src/mapreduce.jl:98-117`).
+    from .regularize import is_full_bijection
+
+    if (
+        len(bviews) == 1
+        and reduce_identity(op, rdt) is not None
+        and is_full_bijection(bviews[0])
+    ):
+        leaf = bviews[0]
+        arr = leaf.parent
+        if leaf.conj:
+            arr = jnp.conj(arr)
+        # reduce in the PHYSICAL shape (free reshape): XLA's staged 2-D
+        # reduction beats a monolithic flat reduce.
+        from .regularize import decompose
+
+        dec = decompose(leaf.shape, leaf.strides, leaf.offset)
+        if dec.sizes:
+            arr = arr.reshape(dec.sizes)
+        partial_flat = _reduce_vals(op, total_f(arr), tuple(range(arr.ndim)))
+        if init is not None:
+            partial_flat = op(jnp.asarray(init, rdt), partial_flat)
+        return partial_flat.astype(rdt)
+
     if init is None:
         ident = reduce_identity(op, rdt)
         initop = (lambda x: jnp.full_like(x, ident)) if ident is not None else None
