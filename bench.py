@@ -27,7 +27,7 @@ PER_CHIP_TARGET = 10_000 / 8  # BASELINE.md: 10k solves/s on v5e-8
 from strided_tpu.utils.timing import time_fn, time_chained, time_slope  # noqa: E402
 
 
-def bench_mpc_solves(batch=4096, horizon=50, admm_iters=20):
+def bench_mpc_solves(batch=32768, horizon=50, admm_iters=20):
     from strided_tpu.models import quadrotor, hover_state, hover_input
     from strided_tpu.mpc import make_hover_mpc
 
@@ -91,7 +91,7 @@ def bench_rollouts(batch=4096, T=100):
 def main():
     solves, sec = bench_mpc_solves()
     print(
-        f"[bench] quadrotor MPC (N=50, ADMM20, batch 4096): "
+        f"[bench] quadrotor MPC (N=50, ADMM20, batch 32768): "
         f"{solves:,.0f} solves/s ({sec*1e3:.2f} ms/batch)",
         file=sys.stderr,
     )
