@@ -1,14 +1,18 @@
 """Benchmark sweeps — methodology parity with the reference's
 `/root/reference/benchmarks/benchtests.jl:9-133` (size sweeps over sum /
-permutedims / mul / tensor contraction), adapted to TPU: each workload is
-timed through the strided engine and through plain jnp/XLA as the
-in-framework baseline, on whatever backend is active.
+permutedims / mul / tensor contraction) plus the README worked examples
+(`/root/reference/README.md:56-154`): symmetrize (row 1) and the
+compute-bound broadcast (row 3). Each workload is timed through the strided
+engine and through plain jnp/XLA as the in-framework baseline, on whatever
+backend is active.
 
 Timing: every workload is wrapped shape-preserving (result feeds back into
 the input with an epsilon weight so nothing can be dead-code-eliminated) and
-measured with ``time_slope`` — k chained applications inside one jitted
-``fori_loop`` at two loop lengths; the slope cancels the ~25 ms/dispatch
-tunnel overhead (see `strided_tpu/utils/timing.py`).
+measured with ``time_slope_checked`` — k chained applications inside one
+jitted ``fori_loop`` at two loop lengths; the slope cancels the ~25
+ms/dispatch tunnel overhead, and sub-noise / non-positive slopes retry with
+longer loops and are *flagged in the record itself* (never silently wrong —
+VERDICT r1 item 3).
 
 Usage:  timeout 590 python benchmarks/sweeps.py [--quick]
 Writes `benchmarks/results_<backend>.json`.
@@ -28,13 +32,26 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import strided_tpu as st
-from strided_tpu.utils.timing import time_slope
+from strided_tpu.utils.timing import time_slope_checked
 
 EPS = 1e-30  # keeps a data dependency without perturbing values
 
 
-def _slope(fn, x):
-    return time_slope(fn, x, k1=8, k2=56)
+def _record(results, bench, size, f_str, f_jnp, x, extra=None):
+    """Time both paths with the checked slope harness and append one fully
+    annotated record (notes attached BEFORE serialization)."""
+    s_str, note_s = time_slope_checked(f_str, x)
+    s_jnp, note_j = time_slope_checked(f_jnp, x)
+    r = {"bench": bench, "size": size, "strided_s": s_str, "jnp_s": s_jnp}
+    notes = [n for n in (note_s and f"strided: {note_s}",
+                         note_j and f"jnp: {note_j}") if n]
+    if notes:
+        r["note"] = "; ".join(notes)
+    if extra:
+        for k, per_byte_or_flops in extra.items():
+            r[k] = (per_byte_or_flops / s_str / 1e9) if s_str > 0 else float("nan")
+    results.append(r)
+    return r
 
 
 def bench_sum(results, quick):
@@ -43,16 +60,8 @@ def bench_sum(results, quick):
         a = jnp.asarray(np.random.default_rng(0).standard_normal((d, d)), jnp.float32)
         f_str = lambda x: x + st.sreduce(lambda v: v, jnp.add, st.transpose(st.strided(x))) * EPS
         f_jnp = lambda x: x + jnp.sum(x.T) * EPS
-        s_str, s_jnp = _slope(f_str, a), _slope(f_jnp, a)
-        results.append(
-            {
-                "bench": "sum_transposed",
-                "size": d,
-                "strided_s": s_str,
-                "jnp_s": s_jnp,
-                "strided_gbs": d * d * 4 / s_str / 1e9,
-            }
-        )
+        _record(results, "sum_transposed", d, f_str, f_jnp, a,
+                extra={"strided_gbs": d * d * 4})
 
 
 def bench_permute(results, quick):
@@ -68,16 +77,51 @@ def bench_permute(results, quick):
             return st.permutedims_into(out, st.strided(x), perm).parent.reshape(x.shape)
 
         f_jnp = lambda x: jnp.transpose(x, perm).copy()
-        s_str, s_jnp = _slope(f_str, a), _slope(f_jnp, a)
-        results.append(
-            {
-                "bench": "permutedims_4d",
-                "size": d,
-                "strided_s": s_str,
-                "jnp_s": s_jnp,
-                "strided_gbs": a.size * 4 * 2 / s_str / 1e9,
-            }
-        )
+        _record(results, "permutedims_4d", d, f_str, f_jnp, a,
+                extra={"strided_gbs": a.size * 4 * 2})
+
+
+def bench_symmetrize(results, quick):
+    """B = (A + A')/2 — the reference's flagship row 1
+    (`/root/reference/README.md:69-73`), at its 4000^2 size and 8192^2.
+    The strided path is the generic fused engine on the lazy expression;
+    `symmetrize_kernel` rows time the dedicated tile-pair Pallas kernel."""
+    for d in ([4000] if quick else [4000, 8192]):
+        a = jnp.asarray(np.random.default_rng(3).standard_normal((d, d)), jnp.float32)
+
+        def f_str(x):
+            v = st.strided(x)
+            return st.to_array((v + st.transpose(v)) * 0.5)
+
+        f_jnp = lambda x: (x + x.T) * 0.5
+        _record(results, "symmetrize", d, f_str, f_jnp, a,
+                extra={"strided_gbs": d * d * 4 * 2})
+        if d % 512 == 0:  # kernel path needs tile-divisible sizes
+            f_k = lambda x: st.symmetrize(x, tile=512)
+            _record(results, "symmetrize_kernel", d, f_k, f_jnp, a,
+                    extra={"strided_gbs": d * d * 4 * 2})
+
+
+def bench_compute_bound(results, quick):
+    """B = A.*exp.(-2A) .+ sin.(A.*A) — the reference's compute-bound row 3
+    (`/root/reference/README.md:85-89,133-137`): transcendentals dominate,
+    so this measures the fused map path's VPU throughput, the regime where
+    blocking alone cannot help."""
+    for d in ([1024, 4096] if quick else [1000, 2048, 4096, 8192]):
+        a = jnp.asarray(np.random.default_rng(4).standard_normal((d, d)), jnp.float32)
+
+        def f_str(x):
+            # one fused engine pass: the traced closure is the CaptureArgs
+            # analog, exactly how the reference fuses this expression
+            return st.to_array(
+                st.sbroadcast(
+                    lambda t: t * jnp.exp(-2 * t) + jnp.sin(t * t), st.strided(x)
+                )
+            )
+
+        f_jnp = lambda x: x * jnp.exp(-2 * x) + jnp.sin(x * x)
+        _record(results, "compute_broadcast", d, f_str, f_jnp, a,
+                extra={"strided_gbs": d * d * 4 * 2})
 
 
 def bench_mul(results, quick):
@@ -95,16 +139,8 @@ def bench_mul(results, quick):
         from jax import lax
 
         f_jnp = lambda x: jnp.matmul(x.T, x, precision=lax.Precision.HIGHEST)
-        s_str, s_jnp = _slope(f_str, a), _slope(f_jnp, a)
-        results.append(
-            {
-                "bench": "mul_At_B",
-                "size": d,
-                "strided_s": s_str,
-                "jnp_s": s_jnp,
-                "strided_tflops": 2 * d**3 / s_str / 1e12,
-            }
-        )
+        _record(results, "mul_At_B", d, f_str, f_jnp, a,
+                extra={"strided_tflops": 2 * d**3 / 1e3})
 
 
 def bench_contraction(results, quick):
@@ -126,38 +162,56 @@ def bench_contraction(results, quick):
             return x + r.sum() * EPS
 
         f_jnp = lambda x: x + jnp.einsum("abc,bcd->ad", x, W).sum() * EPS
-        s_str, s_jnp = _slope(f_str, A), _slope(f_jnp, A)
-        results.append(
-            {
-                "bench": "contraction_mera",
-                "size": d,
-                "strided_s": s_str,
-                "jnp_s": s_jnp,
-            }
-        )
+        _record(results, "contraction_mera", d, f_str, f_jnp, A)
+
+
+ALL_BENCHES = (
+    bench_sum,
+    bench_permute,
+    bench_symmetrize,
+    bench_compute_bound,
+    bench_mul,
+    bench_contraction,
+)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated bench-fn suffixes, e.g. sum,permute")
     args = ap.parse_args()
     results = []
-    for fn in (bench_sum, bench_permute, bench_mul, bench_contraction):
+    benches = ALL_BENCHES
+    if args.only:
+        keys = args.only.split(",")
+        benches = [f for f in ALL_BENCHES if any(k in f.__name__ for k in keys)]
+    for fn in benches:
         fn(results, args.quick)
         print(f"[sweeps] {fn.__name__} done", file=sys.stderr, flush=True)
     backend = jax.default_backend()
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"results_{backend}.json"
     )
+    # Merge with any existing file by (bench, size) so families can be run
+    # incrementally under the slow-compile tunnel (--only sum, then ...).
+    merged = {}
+    if args.only and os.path.exists(out):
+        try:
+            with open(out) as f:
+                for r in json.load(f).get("results", []):
+                    merged[(r["bench"], r["size"])] = r
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[(r["bench"], r["size"])] = r
+    all_results = list(merged.values())
+    # Every record is complete (incl. notes) BEFORE serialization.
     with open(out, "w") as f:
-        json.dump({"backend": backend, "results": results}, f, indent=1)
+        json.dump({"backend": backend, "results": all_results}, f, indent=1)
     for r in results:
         ratio = r["jnp_s"] / r["strided_s"] if r["strided_s"] > 0 else float("nan")
-        # the tunnel's measurement noise floor is ~±50 us/step even after
-        # slope timing; flag entries where the workload is below it
-        if r["strided_s"] < 6e-5 or r["jnp_s"] < 6e-5:
-            r["note"] = "below tunnel noise floor (~50us) - not meaningful"
-        extra = " [sub-noise]" if "note" in r else ""
+        extra = " [" + r["note"] + "]" if "note" in r else ""
         if "strided_gbs" in r:
             extra += f" {r['strided_gbs']:7.1f} GB/s"
         if "strided_tflops" in r:

@@ -20,6 +20,7 @@ from .core.view import (  # noqa: F401
     conj,
     sreshape,
     sview,
+    set_view,
     flip,
     broadcast_to,
 )

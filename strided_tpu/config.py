@@ -77,6 +77,13 @@ class Config:
     # reduction codegen is the better scheduler, so the engine only uses
     # Pallas tiles for pure maps (where it wins, 270-340 vs 260-300 GB/s).
     pallas_reductions: bool = _env_bool("PALLAS_REDUCTIONS", False)
+    # Route order-aligned (no in-VMEM transpose needed) pure maps through
+    # Pallas tiles. Default OFF: measured on v5e, XLA's fused elementwise
+    # codegen wins on aligned layouts (compute-bound broadcast 8192^2:
+    # 490 GB/s XLA vs 276 Pallas); the tile path only wins when some
+    # operand needs a transposed read. Tests force this on to pin the
+    # kernel machinery on aligned layouts too.
+    pallas_aligned_maps: bool = _env_bool("PALLAS_ALIGNED_MAPS", False)
 
 
 _config = Config()

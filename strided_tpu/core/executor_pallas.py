@@ -174,6 +174,21 @@ def _run(f, op, initop, dims, out, ins, cfg):
             raise _Ineligible
         decs.append(dec)
     dec_out = decs[0]
+    # Dispatch honesty (measured on v5e): when every operand's physical
+    # order already matches the logical iteration order — no in-VMEM
+    # transpose needed anywhere — XLA's fused elementwise codegen wins
+    # (e.g. compute-bound broadcast 8192^2: 490 GB/s XLA vs 276 Pallas).
+    # The tile path only earns its keep on scrambled layouts (transposed
+    # reads: 339 vs 299 GB/s). Same spirit as the reference engaging its
+    # blocked path only when blocking can help. Reductions are already
+    # policy-gated by ``pallas_reductions``; ``pallas_aligned_maps=True``
+    # forces aligned maps through Pallas (tests / experiments).
+    if (
+        op is None
+        and not cfg.pallas_aligned_maps
+        and all(list(d.real_axes) == sorted(d.real_axes) for d in decs)
+    ):
+        raise _Ineligible
     # output must own exactly the parallel dims of size > 1 (size-1 parallel
     # dims — e.g. the synthetic one for complete reductions — carry no data)
     expected_par = set(i for i in range(n_par) if dims_o[i] > 1)

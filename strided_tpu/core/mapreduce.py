@@ -29,6 +29,7 @@ Execution is dispatched to one of two backends:
 from __future__ import annotations
 
 import builtins
+import logging
 import math
 import operator
 from functools import partial
@@ -43,6 +44,12 @@ from .view import StridedView, StridedLayoutError, strided, broadcast_to, sresha
 from .regularize import materialize, scatter_into
 from .lazy_expr import StridedExpr, as_expr_parts
 from ..config import get_config
+
+# Engine dispatch decisions (which backend ran a given fused call) log here
+# at DEBUG — the observability hook the reference lacks entirely (SURVEY §5
+# metrics/logging row); enable with
+# ``logging.getLogger("strided_tpu.dispatch").setLevel(logging.DEBUG)``.
+_dispatch_log = logging.getLogger("strided_tpu.dispatch")
 
 __all__ = [
     "fused_mapreduce",
@@ -197,8 +204,12 @@ def fused_mapreduce(
 
     res = executor_pallas.try_fused_mapreduce(f, op, initop, dims, out, ins)
     if res is not None:
+        _dispatch_log.debug(
+            "fused_mapreduce dims=%s reduce=%s -> pallas", dims, bool(red)
+        )
         return res
 
+    _dispatch_log.debug("fused_mapreduce dims=%s reduce=%s -> xla", dims, bool(red))
     return _xla_fused_mapreduce(f, op, initop, dims, out, ins, red)
 
 
@@ -250,7 +261,11 @@ def map_into(out, f: Callable, *ins) -> StridedView:
     from .broadcast import broadcast_views
 
     out = _as_view(out)
-    shapes = {tuple(out.shape)} | {tuple(v.shape) for v in ins}
+    # Shape check only over array-like operands: python/0-d scalars are
+    # captured into the closure (CaptureArgs-style), not iterated.
+    shapes = {tuple(out.shape)} | {
+        tuple(v.shape) for v in ins if getattr(v, "ndim", 0) > 0
+    }
     if len(shapes) > 1:
         raise StridedLayoutError(f"shape mismatch across operands: {shapes}")
     if out.size == 0:
@@ -266,7 +281,7 @@ def smap(f: Callable, *ins) -> StridedView:
     from .lazy_expr import flatten_operands
     from .broadcast import broadcast_views
 
-    shapes = {tuple(v.shape) for v in ins}
+    shapes = {tuple(v.shape) for v in ins if getattr(v, "ndim", 0) > 0}
     if len(shapes) > 1:
         raise StridedLayoutError(f"shape mismatch across operands: {shapes}")
     shape = shapes.pop() if shapes else ()
@@ -460,18 +475,18 @@ def smin(v, axis=None):
 
 
 def smean(v, axis=None):
-    """``mean(A)`` — fused sum divided by the (static) element count."""
+    """``mean(A)`` — ONE fused pass: the ``1/n`` scale folds into the map
+    stage of the map+reduce kernel (``sum(x/n) == mean(x)``), so no second
+    kernel touches the reduced output."""
     g, leaves, shape = as_expr_parts(v)
     if axis is None:
         n = math.prod(shape)
-        return ssum(v) / n
+        return ssum(v) / n  # scalar epilogue: free under jit, still one pass
     axes = (axis,) if isinstance(axis, int) else tuple(axis)
     axes = tuple(range(len(shape))[a] for a in axes)
     n = math.prod(shape[a] for a in axes)
-    red = ssum(v, axis)
-    from .broadcast import sbroadcast
-
-    return sbroadcast(lambda x: x / n, red)
+    inv = 1.0 / n
+    return sreduce_dims(lambda x: x * inv, jnp.add, v, axes)
 
 
 __all__ += ["ssum", "sprod", "smax", "smin", "smean"]

@@ -46,6 +46,7 @@ __all__ = [
     "conj",
     "sreshape",
     "sview",
+    "set_view",
     "flip",
     "broadcast_to",
 ]
@@ -137,6 +138,20 @@ class StridedView:
 
     def __getitem__(self, idx) -> "StridedView":
         return sview(self, idx)
+
+    @property
+    def at(self) -> "_At":
+        """Functional in-place indexed assignment — the ``dotview`` analog.
+
+        The reference lets ``B[rng] .= expr`` hit the lazy view so the
+        broadcast fuses straight into the parent storage
+        (`/root/reference/src/broadcast.jl:24`); here
+        ``v.at[idx].set(expr)`` lowers to ``sbroadcast_into(sview(v, idx),
+        ...)`` and returns the WHOLE view with its functionally-updated
+        parent. ``expr`` may be a scalar, array, view, or lazy
+        :class:`~strided_tpu.core.lazy_expr.StridedExpr` (one fused kernel).
+        Also available: ``.add``, ``.mul``, ``.apply(f, *args)``."""
+        return _At(self)
 
     # -- materialization (delegates to regularize to avoid an import cycle)
     def materialize(self) -> jax.Array:
@@ -310,6 +325,62 @@ def sreshape(v: StridedView, shape: Sequence[int]) -> StridedView:
             "without a copy"
         )
     return StridedView(v.parent, shape, tuple(new_strides), v.offset, v.conj)
+
+
+class _At:
+    """Indexer for :attr:`StridedView.at` (see its docstring)."""
+
+    __slots__ = ("_view",)
+
+    def __init__(self, view: StridedView):
+        self._view = view
+
+    def __getitem__(self, idx) -> "_IndexUpdate":
+        return _IndexUpdate(self._view, idx)
+
+
+class _IndexUpdate:
+    __slots__ = ("_view", "_idx")
+
+    def __init__(self, view: StridedView, idx):
+        self._view = view
+        self._idx = idx
+
+    def _finish(self, sub_updated: StridedView) -> StridedView:
+        v = self._view
+        return StridedView(sub_updated.parent, v.shape, v.strides, v.offset, v.conj)
+
+    def apply(self, f, *args) -> StridedView:
+        """``v[idx] .= f.(args...)`` — fused broadcast into the sub-view;
+        returns the whole updated view."""
+        from .broadcast import sbroadcast_into
+
+        sub = sview(self._view, self._idx)
+        return self._finish(sbroadcast_into(sub, f, *args))
+
+    def set(self, value) -> StridedView:
+        """``v[idx] .= value`` (scalar / array / view / lazy expr)."""
+        return self.apply(lambda x: x, value)
+
+    def add(self, value) -> StridedView:
+        """``v[idx] .+= value``."""
+        from .broadcast import sbroadcast_into
+
+        sub = sview(self._view, self._idx)
+        return self._finish(sbroadcast_into(sub, lambda a, b: a + b, sub, value))
+
+    def mul(self, value) -> StridedView:
+        """``v[idx] .*= value``."""
+        from .broadcast import sbroadcast_into
+
+        sub = sview(self._view, self._idx)
+        return self._finish(sbroadcast_into(sub, lambda a, b: a * b, sub, value))
+
+
+def set_view(v: StridedView, idx, value) -> StridedView:
+    """Functional ``v[idx] .= value`` — module-level spelling of
+    ``v.at[idx].set(value)`` (`/root/reference/src/broadcast.jl:24` analog)."""
+    return _At(v)[idx].set(value)
 
 
 def sview(v: StridedView, idx) -> StridedView:

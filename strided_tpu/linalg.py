@@ -189,7 +189,10 @@ def _mul_mxu(C, A, B, alpha, beta) -> StridedView:
         b,
         (((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
-        precision=_precision(a.dtype),
+        # both operand dtypes matter: DEFAULT (raw bf16 MXU) is only safe
+        # when the promoted dtype is bf16 — a mixed bf16 x f32 matmul must
+        # keep the f32 operand's accuracy
+        precision=_precision(jnp.promote_types(a.dtype, b.dtype)),
     )
     if not _is_static_one(alpha):
         res = alpha * res

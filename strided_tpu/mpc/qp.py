@@ -46,17 +46,19 @@ class CondensedQP:
     H: jax.Array          # (N*m, N*m)
     M: jax.Array          # (N*m, n)   g = M @ x0
     K_lqr: jax.Array      # (N*m, n)   U* = -K_lqr @ x0 (unconstrained)
-    chol_admm: jax.Array  # cholesky(H + rho I)
-    Hinv_admm: jax.Array  # (H + rho I)^{-1}, computed in f64 at setup
+    solver: jax.Array     # (H + rho I)^{-1} (use_chol=False, the fast MXU
+                          # path) OR cholesky(H + rho I) (use_chol=True, the
+                          # conditioning fallback) — computed in f64 at setup
     rho: float
     N: int
     n: int
     m: int
+    use_chol: bool = False
 
     def tree_flatten(self):
         leaves = (self.A, self.B, self.Su, self.Sx, self.H, self.M,
-                  self.K_lqr, self.chol_admm, self.Hinv_admm)
-        return leaves, (self.rho, self.N, self.n, self.m)
+                  self.K_lqr, self.solver)
+        return leaves, (self.rho, self.N, self.n, self.m, self.use_chol)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -94,16 +96,30 @@ def build_condensed(A, B, Q, R, QN, N: int, rho: float = 1.0) -> CondensedQP:
     M = Su.T @ Qbar @ Sx
     K_lqr = np.linalg.solve(H, M)
     H_admm = H + rho * np.eye(N * m)
-    chol_admm = np.linalg.cholesky(H_admm)
     # Explicit inverse (f64, well-conditioned thanks to the +rho I ridge):
     # turns each ADMM iteration's triangular-solve pair — sequential,
-    # MXU-hostile — into ONE dense batched matmul on the MXU.
-    Hinv_admm = np.linalg.inv(H_admm)
+    # MXU-hostile — into ONE dense batched matmul on the MXU. Guard: if the
+    # ridge did NOT tame the conditioning (tiny rho / huge N*m), fall back
+    # to the Cholesky triangular-solve pair, which stays accurate.
+    cond = float(np.linalg.cond(H_admm))
+    use_chol = cond > 1e7
+    if use_chol:
+        import warnings
+
+        warnings.warn(
+            f"cond(H + rho I) = {cond:.2e}: ADMM uses Cholesky triangular "
+            "solves instead of the explicit inverse (slower, accurate); "
+            "consider a larger rho",
+            stacklevel=2,
+        )
+        solver = np.linalg.cholesky(H_admm)
+    else:
+        solver = np.linalg.inv(H_admm)
     to = lambda x: jnp.asarray(x, dtype)
     return CondensedQP(
         A=to(A_), B=to(B_), Su=to(Su), Sx=to(Sx), H=to(H), M=to(M),
-        K_lqr=to(K_lqr), chol_admm=to(chol_admm), Hinv_admm=to(Hinv_admm),
-        rho=rho, N=N, n=n, m=m,
+        K_lqr=to(K_lqr), solver=to(solver),
+        rho=rho, N=N, n=n, m=m, use_chol=use_chol,
     )
 
 
@@ -151,10 +167,15 @@ def qp_solve(
 
     def body(carry, _):
         z, y = carry
-        # (H + rho I)^{-1} rhs as one dense MXU matmul (Hinv is symmetric);
-        # the inverse was formed in f64 at setup, so accuracy matches the
-        # triangular-solve pair while running ~5x faster batched.
-        u = jnp.matmul(qp.rho * (z - y) - g, qp.Hinv_admm, precision=prec)
+        rhs = qp.rho * (z - y) - g
+        if qp.use_chol:
+            # conditioning fallback chosen at setup: triangular-solve pair
+            u = _chol_solve(qp.solver, rhs)
+        else:
+            # (H + rho I)^{-1} rhs as one dense MXU matmul (the inverse is
+            # symmetric and was formed in f64 at setup, so accuracy matches
+            # the triangular-solve pair while running ~5x faster batched)
+            u = jnp.matmul(rhs, qp.solver, precision=prec)
         u_rel = alpha * u + (1 - alpha) * z
         z_new = jnp.clip(u_rel + y, lo, hi)
         y_new = y + u_rel - z_new

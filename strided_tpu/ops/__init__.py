@@ -16,6 +16,7 @@ from ..core.view import (  # noqa: F401
     conj,
     sreshape,
     sview,
+    set_view,
     flip,
     broadcast_to,
 )

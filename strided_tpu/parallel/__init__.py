@@ -7,3 +7,4 @@ from .sharded import (  # noqa: F401
 )
 from .tp import matmul_nsplit, matmul_msplit, matmul_ksplit  # noqa: F401
 from .engine import choose_split_dim, sharded_smap, sharded_reduce  # noqa: F401
+from .dist import init_distributed  # noqa: F401

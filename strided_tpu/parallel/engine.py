@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.view import StridedView
 from ..core.lazy_expr import StridedExpr, as_expr_parts
 from ..core.regularize import materialize
-from ..core import planner
 
 __all__ = ["choose_split_dim", "sharded_smap", "sharded_reduce"]
 
@@ -47,9 +46,8 @@ def choose_split_dim(
     dims, last argmax on ties — the task scheduler's split rule
     (`/root/reference/src/mapreduce.jl:203`, ``_lastargmax`` `:452-460`)
     with reduction dims excluded by construction (`:172-177`)."""
-    _, dims_o, strides_o, costs = planner.order_dims(dims, all_strides)
-    # order_dims permutes; we want the original axis id — recompute costs in
-    # the ORIGINAL axis order instead (cost = 2*min nonzero |stride|, 0 -> 1).
+    # cost = 2 * min nonzero |stride| (0 -> 1), evaluated in the ORIGINAL
+    # axis order so the returned index is the original axis id.
     best, best_i = -1, None
     for i in range(len(dims)):
         if i in reduction_dims or dims[i] <= 1:
@@ -77,8 +75,10 @@ def sharded_smap(
     split_dim: Optional[int] = None,
 ):
     """Fused elementwise map over views/expressions with the iteration space
-    sharded over ``mesh`` along the planner-chosen dim. Returns a dense
-    array sharded along that dim.
+    sharded over ``mesh`` along the planner-chosen dim. Returns a
+    :class:`StridedView` (API symmetry with the local engine — composing
+    sharded and local calls stays lazy); its flat parent buffer keeps the
+    GSPMD sharding along the split dim.
 
     Must run under ``jax.jit`` for GSPMD to partition (eager mode still
     computes correctly)."""
@@ -103,7 +103,9 @@ def sharded_smap(
     out = f(*dense)
     if split_dim is not None:
         out = _constrain(out, mesh, split_dim, axis_name)
-    return out
+    from ..core.view import strided
+
+    return strided(out)
 
 
 def sharded_reduce(
@@ -121,8 +123,9 @@ def sharded_reduce(
     let GSPMD insert the ``psum`` — the accumulator-slot combine of
     `/root/reference/src/mapreduce.jl:153-170` as an ICI all-reduce.
 
-    Returns a dense array (reduced dims dropped), or a 0-d array for a
-    complete reduction."""
+    Returns a :class:`StridedView` over the kept dims (matching the local
+    ``sreduce_dims``), or a 0-d array for a complete reduction (matching
+    the local ``sreduce``)."""
     g, leaves, shape = as_expr_parts(v)
     ndim = len(shape)
     if axes is None:
@@ -151,7 +154,11 @@ def sharded_reduce(
     from ..core.mapreduce import _reduce_vals
 
     out = _reduce_vals(op, vals, axes)
-    if kept and split_dim is not None and split_dim in kept:
+    if not kept:
+        return out  # complete reduction: 0-d array, like local sreduce
+    if split_dim is not None and split_dim in kept:
         out_dim = kept.index(split_dim)
         out = _constrain(out, mesh, out_dim, axis_name)
-    return out
+    from ..core.view import strided
+
+    return strided(out)

@@ -36,9 +36,22 @@ def make_mesh(
     axis_sizes = tuple(int(s) for s in axis_sizes)
     want = int(np.prod(axis_sizes))
     if want > len(devices):
-        raise ValueError(
-            f"mesh wants {want} devices, only {len(devices)} available"
-        )
+        # 1-D over-ask clamps with a warning — the analog of the reference's
+        # thread-count clamp + `@warn` (`/root/reference/src/Strided.jl:21-32`).
+        if len(axis_sizes) == 1:
+            import warnings
+
+            warnings.warn(
+                f"mesh wants {want} devices, only {len(devices)} available; "
+                f"clamping '{axis_names[0]}' axis to {len(devices)}",
+                stacklevel=2,
+            )
+            axis_sizes = (len(devices),)
+            want = len(devices)
+        else:
+            raise ValueError(
+                f"mesh wants {want} devices, only {len(devices)} available"
+            )
     arr = np.array(devices[:want]).reshape(axis_sizes)
     return Mesh(arr, tuple(axis_names))
 

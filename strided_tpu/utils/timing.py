@@ -19,7 +19,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["time_fn", "time_chained", "bandwidth_gbs"]
+__all__ = [
+    "time_fn",
+    "time_chained",
+    "time_looped",
+    "time_slope",
+    "time_slope_checked",
+    "bandwidth_gbs",
+]
 
 
 def _drain(out):
@@ -108,6 +115,35 @@ def time_slope(fn: Callable, x, k1: int = 8, k2: int = 40, repeats: int = 3):
         return best
 
     return (total(k2) - total(k1)) / (k2 - k1)
+
+
+def time_slope_checked(
+    fn: Callable,
+    x,
+    k1: int = 8,
+    k2: int = 56,
+    repeats: int = 3,
+    min_delta: float = 5e-4,
+    max_retries: int = 1,
+):
+    """:func:`time_slope` with a validity guard (VERDICT r1 item 3): a slope
+    is only trusted when the measured loop-length difference
+    ``T_k2 - T_k1 = slope * (k2 - k1)`` clears ``min_delta`` seconds — well
+    above the tunnel's ~50 us jitter. Non-positive or sub-threshold slopes
+    retry with 4x longer loops (amortizing the noise) up to ``max_retries``
+    times. Returns ``(seconds_per_step, note)``; ``note`` is ``None`` for a
+    clean measurement, otherwise a string explaining why the value is
+    suspect (never silently negative)."""
+    s = float("nan")
+    for _ in range(max_retries + 1):
+        s = time_slope(fn, x, k1=k1, k2=k2, repeats=repeats)
+        if s > 0 and s * (k2 - k1) >= min_delta:
+            return s, None
+        k1 *= 4
+        k2 *= 4
+    if not (s > 0):
+        return float("nan"), "invalid: non-positive slope after retries"
+    return s, f"below noise threshold even at k2={k2 // 4} - treat as upper bound"
 
 
 def bandwidth_gbs(nbytes: int, seconds: float) -> float:

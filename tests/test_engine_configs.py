@@ -27,7 +27,8 @@ def engine(request):
     old = cfg.get_config()
     if request.param == "pallas":
         cfg.set_config(
-            use_pallas=True, min_pallas_elements=256, pallas_reductions=True
+            use_pallas=True, min_pallas_elements=256, pallas_reductions=True,
+            pallas_aligned_maps=True
         )
     else:
         cfg.set_config(use_pallas=False)
@@ -36,6 +37,7 @@ def engine(request):
         use_pallas=old.use_pallas,
         min_pallas_elements=old.min_pallas_elements,
         pallas_reductions=old.pallas_reductions,
+        pallas_aligned_maps=old.pallas_aligned_maps,
     )
 
 

