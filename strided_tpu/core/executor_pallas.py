@@ -53,6 +53,11 @@ except Exception:  # pragma: no cover
 
 _OK_DTYPES = ("float32", "bfloat16", "int32", "uint32")
 
+# Debug/observability: after every successful Pallas dispatch the chosen plan
+# is recorded here (dims, tiles, grid, per-operand physical axes) so perf work
+# can see exactly what the solver picked without reading Mosaic dumps.
+LAST_PLAN: dict = {}
+
 
 class _Ineligible(Exception):
     pass
@@ -346,6 +351,16 @@ def _run(f, op, initop, dims, out, ins, cfg):
     if needs_old:
         call_ins.append(out.parent.reshape(out_phys_shape))
         io_aliases = {len(call_ins) - 1: 0}
+
+    LAST_PLAN.clear()
+    LAST_PLAN.update(
+        dims=dims_o,
+        tiles=tiles,
+        grid=grid,
+        n_par=n_par,
+        real_axes=[dec.real_axes for dec in decs],
+        align=tuple(align),
+    )
 
     interpret = cfg.interpret or jax.default_backend() != "tpu"
     compiler_params = None
