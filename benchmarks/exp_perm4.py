@@ -37,8 +37,10 @@ def v_grouped_j2(b2):
             in_specs=[pl.BlockSpec((D, b2, D * D), lambda g: (0, g, 0))],
             out_specs=pl.BlockSpec((D, D, b2 * D), lambda g: (0, 0, g)),
             out_shape=jax.ShapeDtypeStruct((D, D, D * D), x.dtype),
+            # output blocks are disjoint per grid step: parallel semantics
+            # let Mosaic reorder/overlap (ADVICE r2 item 3)
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("parallel",),
             ),
         )(xin)
         return out.reshape(x.shape)
@@ -65,7 +67,7 @@ def v_grouped_j1j2(b1, b2):
             out_specs=pl.BlockSpec((D, b1, b2 * D), lambda g1, g2: (0, g1, g2)),
             out_shape=jax.ShapeDtypeStruct((D, D, D * D), x.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
+                dimension_semantics=("parallel", "parallel"),
             ),
         )(xin)
         return out.reshape(x.shape)

@@ -18,6 +18,11 @@ a4 = jnp.asarray(np.random.default_rng(1).standard_normal((d,) * 4), jnp.float32
 perm = (3, 2, 1, 0)
 
 def f_str(x):
+    # NOTE (ADVICE r2 item 2): the zeros_like destination is DEAD code here —
+    # a full permute copy is a bijective write, and scatter_into's bijection
+    # path returns the transposed values directly without ever reading the
+    # parent buffer, so XLA DCEs the zero fill. Traffic = 1 read + 1 write,
+    # matching f_jnp.
     out = st.strided(jnp.zeros_like(x))
     return st.permutedims_into(out, st.strided(x), perm).parent.reshape(x.shape)
 

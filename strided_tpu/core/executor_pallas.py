@@ -53,9 +53,12 @@ except Exception:  # pragma: no cover
 
 _OK_DTYPES = ("float32", "bfloat16", "int32", "uint32")
 
-# Debug/observability: after every successful Pallas dispatch the chosen plan
-# is recorded here (dims, tiles, grid, per-operand physical axes) so perf work
-# can see exactly what the solver picked without reading Mosaic dumps.
+# Debug/observability: recorded at TRACE time whenever the Pallas path is
+# selected (dims, tiles, grid, per-operand physical axes) so perf work can
+# see what the solver picked without reading Mosaic dumps. Caveats: on jit
+# cache hits nothing re-traces, so the dict describes the most recent TRACE,
+# not the most recent dispatch; it is a module-level mutable global, so
+# concurrent tracing from multiple threads can interleave updates.
 LAST_PLAN: dict = {}
 
 
@@ -67,12 +70,16 @@ def _reducer_for(op):
     """Map a known binary reduce op to its jnp tile-reducer (Mosaic lowers
     these natively); unknown ops return None -> XLA fallback, mirroring the
     reference's rejection of unknown reductions under threading
-    (`/root/reference/src/mapreduce.jl:188-191`)."""
+    (`/root/reference/src/mapreduce.jl:188-191`).
+
+    sum/prod pin ``dtype`` to the operand dtype: the reference accumulates in
+    eltype, and under ``jax_enable_x64`` jnp would otherwise upcast int32 ->
+    int64 inside the kernel, which Mosaic cannot lower (64-bit types)."""
     import operator
 
     table = [
-        ((operator.add, jnp.add), jnp.sum),
-        ((operator.mul, jnp.multiply), jnp.prod),
+        ((operator.add, jnp.add), lambda v, axis: jnp.sum(v, axis=axis, dtype=v.dtype)),
+        ((operator.mul, jnp.multiply), lambda v, axis: jnp.prod(v, axis=axis, dtype=v.dtype)),
         ((jnp.minimum,), jnp.min),
         ((jnp.maximum,), jnp.max),
         ((jnp.logical_and,), jnp.all),

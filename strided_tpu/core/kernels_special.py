@@ -46,7 +46,9 @@ def _make_sym_kernel(nsteps: int, T: int):
     the semaphore schedule stays statically balanced."""
 
     def kernel(ii_ref, jj_ref, a_hbm, out_hbm, s_in, s_out, in_sems, out_sems):
-        step = pl.program_id(0)
+        # Pin index math to int32: under jax_enable_x64 the default int is
+        # int64, which Mosaic cannot lower.
+        step = jnp.asarray(pl.program_id(0), jnp.int32)
         slot = step % 2
         nxt = (step + 1) % 2
 

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import matmul_precision_scope
 from ..models.base import Model
 from .rollout import rollout
 
@@ -112,6 +113,7 @@ def _forward(model, x0, xs, us, ks, Ks, alpha, dt, cost: QuadCost):
     return xs_new, us_new, cost.total(xs_new, us_new)
 
 
+@matmul_precision_scope
 def ilqr(
     model: Model,
     cost: QuadCost,

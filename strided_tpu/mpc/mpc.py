@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import matmul_precision_scope
 from ..models.base import Model
 from .qp import CondensedQP, build_condensed, qp_solve, qp_solve_unconstrained
 
@@ -89,6 +90,7 @@ def make_hover_mpc(
     )
 
 
+@matmul_precision_scope
 def closed_loop(ctrl: LinearMPC, model: Model, x0, steps: int, dt: float):
     """Simulate the nonlinear plant under the MPC law for ``steps`` steps.
 

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..config import matmul_precision_scope
+
 __all__ = ["CondensedQP", "build_condensed", "qp_solve", "qp_solve_unconstrained"]
 
 
@@ -123,6 +125,7 @@ def build_condensed(A, B, Q, R, QN, N: int, rho: float = 1.0) -> CondensedQP:
     )
 
 
+@matmul_precision_scope
 def qp_solve_unconstrained(qp: CondensedQP, x0: jax.Array) -> jax.Array:
     """U* = -H^{-1} M x0 via the precomputed gain. x0 ``(*batch, n)`` ->
     U ``(*batch, N, m)``."""
@@ -142,6 +145,7 @@ def _chol_solve(L, b):
     return z.T.reshape(bshape)
 
 
+@matmul_precision_scope
 def qp_solve(
     qp: CondensedQP,
     x0: jax.Array,
@@ -154,16 +158,17 @@ def qp_solve(
 
     x0 ``(*batch, n)``; u_min/u_max ``(m,)`` bounds (applied per stage).
     Per iteration: one (N*m, N*m) triangular-solve pair + clips — all batched
-    over scenarios into MXU work. Returns U ``(*batch, N, m)``."""
+    over scenarios into MXU work. Returns U ``(*batch, N, m)``.
+
+    ALL matmuls here (g, the warm start, and the per-iteration solve) run
+    under the configured MXU precision: ADMM converges to the fixed point of
+    the *computed* g, so a bf16-rounded ``g = M x0`` biases every iterate —
+    the r2 bench measured 4.1e-1 first-input error from exactly that leak."""
     g = x0 @ qp.M.T  # (*batch, N*m)
     lo = jnp.tile(u_min, qp.N)
     hi = jnp.tile(u_max, qp.N)
     z = jnp.clip(-x0 @ qp.K_lqr.T, lo, hi)
     y = jnp.zeros_like(z)
-
-    from ..linalg import _precision
-
-    prec = _precision(x0.dtype)
 
     def body(carry, _):
         z, y = carry
@@ -175,7 +180,7 @@ def qp_solve(
             # (H + rho I)^{-1} rhs as one dense MXU matmul (the inverse is
             # symmetric and was formed in f64 at setup, so accuracy matches
             # the triangular-solve pair while running ~5x faster batched)
-            u = jnp.matmul(rhs, qp.solver, precision=prec)
+            u = rhs @ qp.solver
         u_rel = alpha * u + (1 - alpha) * z
         z_new = jnp.clip(u_rel + y, lo, hi)
         y_new = y + u_rel - z_new

@@ -15,9 +15,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import matmul_precision_scope
+
 __all__ = ["lqr_gains", "lqr_apply", "riccati_converge"]
 
 
+@matmul_precision_scope
 def lqr_gains(A, B, Q, R, QN, N: int):
     """Time-varying finite-horizon LQR gains K_t (t = 0..N-1) for
     x_{t+1} = A x_t + B u_t, cost sum x'Qx + u'Ru + terminal x'QN x.
@@ -42,6 +45,7 @@ def lqr_gains(A, B, Q, R, QN, N: int):
     return Ks, Ps
 
 
+@matmul_precision_scope
 def lqr_apply(Ks, x0, A, B):
     """Roll the time-varying LQR policy forward; returns (xs, us)."""
 

@@ -42,13 +42,7 @@ def shard_batch(fn: Callable, mesh: Mesh, axis: str = "data"):
     array argument/output is sharded over ``axis``. ``fn`` must be
     shape-polymorphic in the batch dim (vmapped/batched code is)."""
     spec = P(axis)
-
-    def in_spec(x):
-        return spec
-
-    wrapped = shard_map(
-        fn, mesh=mesh, in_specs=spec, out_specs=spec)
-    return wrapped
+    return shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec)
 
 
 def sharded_rollout(model, mesh: Mesh, dt, axis: str = "data"):

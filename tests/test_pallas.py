@@ -21,10 +21,14 @@ def small_threshold():
     # pallas_reductions on: these tests pin the Pallas reduce machinery's
     # correctness (initop-once, sequential reduction grid) even though the
     # production default routes reductions to XLA (config.py rationale).
-    cfg.set_config(min_pallas_elements=1024, pallas_reductions=True,
-                   pallas_aligned_maps=True)
+    # use_pallas forced on too: this file tests the kernel machinery itself,
+    # so it must engage regardless of the suite-wide engine profile
+    # (STRIDED_TPU_TEST_PROFILE=xla disables Pallas globally).
+    cfg.set_config(use_pallas=True, min_pallas_elements=1024,
+                   pallas_reductions=True, pallas_aligned_maps=True)
     yield
     cfg.set_config(
+        use_pallas=old.use_pallas,
         min_pallas_elements=old.min_pallas_elements,
         vmem_budget_bytes=old.vmem_budget_bytes,
         pallas_reductions=old.pallas_reductions,
