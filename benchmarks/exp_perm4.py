@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from strided_tpu.utils.timing import time_looped
+from strided_tpu.utils.timing import time_slope_checked
 
 D = 64
 NBYTES = 2 * D**4 * 4
@@ -265,13 +265,17 @@ def main():
                         np.asarray(x).reshape(4096, 4096).T,
                     )
                 )
-            s = time_looped(fn, x, k=24)
+            # slope timing (r3): time_looped carries the flat ~1 ms/dispatch
+            # tunnel overhead into every step (k=24 biased a 0.2 ms kernel
+            # by 5x); the slope of two loop lengths cancels it exactly.
+            s, note = time_slope_checked(fn, x)
             print(
                 json.dumps(
                     {
                         "v": name,
                         "gbs": NBYTES / s / 1e9,
                         "ok": ok,
+                        "note": note,
                         "compile_s": round(time.time() - t0, 1),
                     }
                 ),

@@ -67,6 +67,21 @@ def time_chained(fn: Callable, x, inner: int = 10, repeats: int = 3):
     return best
 
 
+def _opaque_step(fn):
+    """Wrap one loop-body application in ``lax.optimization_barrier`` so XLA
+    cannot algebraically collapse the chain (hard-won, r3): without the
+    barrier a fori_loop of ``x + 1`` constant-folds into ``x + k`` (measured
+    "4481 GB/s" on a 819 GB/s chip) and chained transposes can cancel
+    pairwise. Pallas kernels are already opaque; this makes jnp-expressed
+    workloads honest too."""
+    from jax import lax
+
+    def step(v):
+        return lax.optimization_barrier(fn(lax.optimization_barrier(v)))
+
+    return step
+
+
 def time_looped(fn: Callable, x, k: int = 16, repeats: int = 3):
     """Per-application seconds of shape-preserving ``fn`` with ``k``
     data-dependent applications chained INSIDE one jitted program.
@@ -75,12 +90,17 @@ def time_looped(fn: Callable, x, k: int = 16, repeats: int = 3):
     so :func:`time_chained` cannot resolve kernels faster than that; this
     harness amortizes the overhead device-side: one dispatch runs ``k``
     chained steps via ``lax.fori_loop``, so per-step time reflects true
-    on-device throughput. Requires ``fn(x)`` to have x's shape/dtype."""
+    on-device throughput. Requires ``fn(x)`` to have x's shape/dtype.
+
+    NOTE: the flat per-dispatch overhead (~25 ms over the tunnel) is still
+    INCLUDED (divided by k); prefer :func:`time_slope`, which cancels it."""
     from jax import lax
+
+    step = _opaque_step(fn)
 
     @jax.jit
     def loop(x):
-        return lax.fori_loop(0, k, lambda i, v: fn(v), x)
+        return lax.fori_loop(0, k, lambda i, v: step(v), x)
 
     y = loop(x)  # compile + warm
     _drain(y)
@@ -99,10 +119,12 @@ def time_slope(fn: Callable, x, k1: int = 8, k2: int = 40, repeats: int = 3):
     loops and return the slope ``(T_k2 - T_k1) / (k2 - k1)``."""
     from jax import lax
 
+    step = _opaque_step(fn)
+
     def total(k):
         @jax.jit
         def loop(x):
-            return lax.fori_loop(0, k, lambda i, v: fn(v), x)
+            return lax.fori_loop(0, k, lambda i, v: step(v), x)
 
         y = loop(x)
         _drain(y)

@@ -1,0 +1,123 @@
+"""No-retrace contracts for engine entry points (VERDICT r2 item 4 /
+next-round item 8) — the jit analog of the reference's ``@inferred`` type-
+stability assertions (`/root/reference/test/othertests.jl:46-66`):
+
+A :class:`StridedView` is a pytree whose layout metadata (shape/strides/
+offset/conj) is static aux data, so a jitted engine call must (a) NOT
+retrace when called again with identical layouts and fresh data, and
+(b) retrace exactly once when the layout changes. This pins that planner
+decisions are pure functions of static metadata (SURVEY §7: "planner must
+be hashable/cacheable to avoid recompiles")."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import strided_tpu as st
+from strided_tpu.core.mapreduce import map_into, sreduce_dims, sreduce
+from strided_tpu.linalg import mul
+
+
+def _views(seed, transpose_in=False):
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    v = st.strided(a)
+    if transpose_in:
+        v = st.transpose(st.strided(jnp.asarray(rng.standard_normal((64, 32)),
+                                                jnp.float32)))
+    out = st.strided(jnp.zeros((32, 64), jnp.float32))
+    return out, v
+
+
+def test_map_into_no_retrace():
+    traces = []
+
+    @jax.jit
+    def f(out, v):
+        traces.append(1)
+        return map_into(out, lambda x: 2 * x, v)
+
+    out1, v1 = _views(0)
+    out2, v2 = _views(1)
+    r1 = f(out1, v1)
+    r2 = f(out2, v2)  # same layouts, fresh data: cache hit
+    assert len(traces) == 1, "map_into retraced under identical static metadata"
+    np.testing.assert_allclose(
+        np.asarray(r2.parent), 2 * np.asarray(v2.parent), rtol=1e-6
+    )
+    # different layout (transposed input): exactly one more trace
+    out3, v3 = _views(2, transpose_in=True)
+    f(out3, v3)
+    assert len(traces) == 2, "layout change must retrace (static aux data)"
+    f(*_views(3, transpose_in=True))
+    assert len(traces) == 2
+
+
+def test_sreduce_dims_no_retrace():
+    traces = []
+
+    @jax.jit
+    def f(v):
+        traces.append(1)
+        return sreduce_dims(lambda x: x * x, jnp.add, v, (1,))
+
+    _, v1 = _views(4)
+    _, v2 = _views(5)
+    r1 = f(v1)
+    r2 = f(v2)
+    assert len(traces) == 1, "sreduce_dims retraced under identical metadata"
+    np.testing.assert_allclose(
+        np.asarray(r2.parent).reshape(32, 1),
+        (np.asarray(v2.parent).reshape(32, 64) ** 2).sum(1, keepdims=True),
+        rtol=1e-5,
+    )
+    f(st.transpose(v1))
+    assert len(traces) == 2
+
+
+def test_complete_reduce_no_retrace():
+    traces = []
+
+    @jax.jit
+    def f(v):
+        traces.append(1)
+        return sreduce(lambda x: x, jnp.add, v)
+
+    _, v1 = _views(6)
+    _, v2 = _views(7)
+    f(v1)
+    f(v2)
+    assert len(traces) == 1
+
+
+def test_mul_no_retrace():
+    traces = []
+
+    @jax.jit
+    def f(C, A, B):
+        traces.append(1)
+        return mul(C, A, B, alpha=2.0, beta=0.5)
+
+    rng = np.random.default_rng(8)
+
+    def mk():
+        A = st.strided(jnp.asarray(rng.standard_normal((16, 24)), jnp.float32))
+        B = st.strided(jnp.asarray(rng.standard_normal((24, 20)), jnp.float32))
+        C = st.strided(jnp.asarray(rng.standard_normal((16, 20)), jnp.float32))
+        return C, A, B
+
+    C1, A1, B1 = mk()
+    C2, A2, B2 = mk()
+    f(C1, A1, B1)
+    r = f(C2, A2, B2)
+    assert len(traces) == 1, "mul retraced under identical static metadata"
+    want = 2.0 * np.asarray(A2.parent).reshape(16, 24) @ np.asarray(
+        B2.parent
+    ).reshape(24, 20) + 0.5 * np.asarray(C2.parent).reshape(16, 20)
+    np.testing.assert_allclose(np.asarray(r.parent).reshape(16, 20), want, rtol=1e-5)
+    # transposed A (lazy op flip) is a different static layout: one retrace
+    At = st.transpose(st.strided(jnp.asarray(rng.standard_normal((24, 16)),
+                                             jnp.float32)))
+    f(C1, At, B1)
+    assert len(traces) == 2
