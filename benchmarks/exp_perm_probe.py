@@ -180,7 +180,15 @@ def main():
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(V)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((D,) * 4), jnp.float32)
-    want = np.transpose(np.asarray(x), (3, 2, 1, 0))
+
+    # Device-side check (64 MB host fetch over the tunnel would take ~2 min
+    # per variant): max |got - reversal| computed on-chip, one scalar out.
+    @jax.jit
+    def _maxdiff(got, x):
+        return jnp.max(jnp.abs(got - jnp.transpose(x, (3, 2, 1, 0))))
+
+    def check(got):
+        return float(_maxdiff(got, x)) == 0.0
     for name in names:
         if name == "engine":
             from strided_tpu.config import set_config
@@ -190,7 +198,7 @@ def main():
             try:
                 got = jax.jit(engine_rank4)(x)
                 got.block_until_ready()
-                ok = bool(np.array_equal(np.asarray(got), want))
+                ok = check(got)
                 s, note = time_slope_checked(engine_rank4, x)
                 print(json.dumps({
                     "v": "engine_div2", "gbs": NBYTES / s / 1e9, "ok": ok,
@@ -206,7 +214,7 @@ def main():
         try:
             got = jax.jit(fn)(x)
             got.block_until_ready()
-            ok = bool(np.array_equal(np.asarray(got), want))
+            ok = check(got)
             s, note = time_slope_checked(fn, x)
             print(json.dumps({
                 "v": name, "gbs": NBYTES / s / 1e9, "ok": ok, "note": note,

@@ -82,6 +82,31 @@ def v_pallas_sym_blockspec(tile):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
+        )(x, x)  # A read through two BlockSpecs: (i,j) and (j,i)
+
+    return run
+
+
+def v_pallas_t2d_rect(th, tw):
+    """Rectangular transpose tiles: input rows of tw*4 bytes, output rows of
+    th*4 bytes — probes whether the ~325 GB/s square-tile ceiling is set by
+    the 2 KB DMA row length."""
+
+    def kernel(i_ref, o_ref):
+        o_ref[...] = jnp.transpose(i_ref[...], (1, 0))
+
+    def run(x):
+        n = x.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n // th, n // tw),
+            in_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j))],
+            out_specs=pl.BlockSpec((tw, th), lambda i, j: (j, i)),
+            out_shape=jax.ShapeDtypeStruct((n, n), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(x)
 
     return run
@@ -240,6 +265,9 @@ def variants():
         V[f"pair_full_{t}"] = v_pair(t, do_transpose=True)
         V[f"pair_full_skipdiag_{t}"] = v_pair(t, do_transpose=True,
                                               skip_diag_write=True)
+    for th, tw in ((256, 1024), (128, 2048), (512, 1024), (1024, 512),
+                   (256, 2048)):
+        V[f"t2d_rect_{th}x{tw}"] = v_pallas_t2d_rect(th, tw)
     V["prod_kernel_512"] = lambda x: symmetrize(x, tile=512)
     return V
 
@@ -250,8 +278,23 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
-    want_sym = None  # computed lazily (8192^2 f64 on host is 512MB; keep f32)
     nbytes = 2 * x.size * 4  # fused read + write (the workload's traffic)
+
+    # Device-side verification: fetching the 256 MB output through the tunnel
+    # (~0.6 MB/s) would take minutes per variant; compare on-device against
+    # the XLA reference and pull ONE scalar (max |diff|) to the host.
+    @jax.jit
+    def _maxdiff_sym(got, x):
+        return jnp.max(jnp.abs(got - (x + x.T) * 0.5))
+
+    @jax.jit
+    def _maxdiff_t(got, x):
+        return jnp.max(jnp.abs(got - x.T))
+
+    @jax.jit
+    def _maxdiff_id(got, x):
+        return jnp.max(jnp.abs(got - x))
+
     for name in names:
         fn = V[name]
         t0 = time.time()
@@ -259,17 +302,14 @@ def main():
             got = jax.jit(fn)(x)
             got.block_until_ready()
             if "sym" in name or name.startswith(("pair_full", "prod")):
-                if want_sym is None:
-                    a = np.asarray(x)
-                    want_sym = (a + a.T) * np.float32(0.5)
-                ok = bool(np.allclose(np.asarray(got), want_sym, atol=0))
+                ok = float(_maxdiff_sym(got, x)) == 0.0
             elif name.startswith("pair_copy"):
-                ok = bool(np.array_equal(np.asarray(got), np.asarray(x)))
+                ok = float(_maxdiff_id(got, x)) == 0.0
             elif "transpose" in name or name.startswith("t2d"):
-                ok = bool(np.allclose(np.asarray(got), np.asarray(x).T,
-                                      atol=1e-20))
+                ok = float(_maxdiff_t(got, x)) == 0.0
             else:
                 ok = True
+            del got
             s, note = time_slope_checked(fn, x)
             print(json.dumps({
                 "v": name, "n": n, "gbs": nbytes / s / 1e9, "ok": ok,

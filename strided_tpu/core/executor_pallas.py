@@ -133,6 +133,26 @@ def _run(f, op, initop, dims, out, ins, cfg):
     if any(d == 0 for d in dims):
         raise _Ineligible
 
+    # ``pl.pallas_call`` kernels cannot close over array values ("captures
+    # constants ... pass them as inputs") — a traced scalar in the user
+    # closure (e.g. ``(v + v.T) * s`` under jit) or a captured concrete
+    # array must take the XLA path, which fuses closures fine. Detect by
+    # abstract-tracing f and checking for non-literal consts.
+    try:
+        closed = jax.make_jaxpr(f)(
+            *[jax.ShapeDtypeStruct((1,) * len(dims), v.dtype) for v in ins]
+        )
+        if any(
+            isinstance(c, (jax.Array, jax.core.Tracer)) or getattr(c, "ndim", None)
+            is not None
+            for c in closed.consts
+        ):
+            raise _Ineligible
+    except _Ineligible:
+        raise
+    except Exception:
+        raise _Ineligible  # f not abstractly traceable here -> let XLA try
+
     red0 = tuple(
         i for i in range(len(dims)) if out.strides[i] == 0 and dims[i] != 1
     )
