@@ -75,11 +75,15 @@ def bench_mpc_solves(batch=32768, horizon=50, admm_iters=20):
 
 def bench_symmetrize_bandwidth(n=8192):
     """Fused symmetrize B = (A + A')/2 — benchmark #1 family; reports GB/s
-    for BOTH paths: the dedicated tile-pair Pallas kernel
-    (``symmetrize_kernel_gbs``) and the generic fused engine via the lazy
-    expression ``(A + A.T) * 0.5`` (``engine_gbs``) — the number the
-    reference's flagship workload actually measures."""
+    for THREE paths: the dedicated tile-pair Pallas kernel
+    (``symmetrize_kernel_gbs``), the flagship lazy expression
+    ``(A + A.T) * 0.5`` through the public API (which the r3 structured
+    pattern dispatch routes to the same kernel — the number the reference's
+    flagship workload actually measures), and the generic three-pass engine
+    with the pattern dispatch disabled (the fallback every non-matching
+    expression takes)."""
     import strided_tpu as st
+    from strided_tpu.config import set_config, get_config
 
     a = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)), jnp.float32)
     nbytes = a.size * 4 * 2  # one fused read of A + one write
@@ -90,7 +94,13 @@ def bench_symmetrize_bandwidth(n=8192):
         return st.to_array((v + st.transpose(v)) * 0.5)
 
     sec_e = time_slope(engine, a, k1=8, k2=40)
-    return nbytes / sec_k / 1e9, nbytes / sec_e / 1e9
+    old = get_config()
+    try:
+        set_config(expr_pattern_dispatch=False)
+        sec_g = time_slope(engine, a, k1=8, k2=40)
+    finally:
+        set_config(expr_pattern_dispatch=old.expr_pattern_dispatch)
+    return nbytes / sec_k / 1e9, nbytes / sec_e / 1e9, nbytes / sec_g / 1e9
 
 
 def bench_mpc_accuracy(batch=64, horizon=50, admm_iters=20):
@@ -318,10 +328,11 @@ def main():
 
     # ---- diagnostics (must not break the contract line) ----
     try:
-        kgbs, egbs = bench_symmetrize_bandwidth()
+        kgbs, egbs, ggbs = bench_symmetrize_bandwidth()
         print(
             f"[bench] symmetrize 8192^2 f32: kernel {kgbs:.1f} GB/s "
-            f"(symmetrize_kernel_gbs), generic engine {egbs:.1f} GB/s",
+            f"(symmetrize_kernel_gbs), flagship expression via pattern "
+            f"dispatch {egbs:.1f} GB/s, generic 3-pass engine {ggbs:.1f} GB/s",
             file=sys.stderr,
         )
         steps, _ = bench_rollouts()

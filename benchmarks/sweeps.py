@@ -37,6 +37,12 @@ from strided_tpu.utils.timing import time_slope_checked
 EPS = 1e-30  # keeps a data dependency without perturbing values
 
 
+# Measured pure-stream ceiling of this chip (x+1 read+write, r3:
+# results_tpu_r3.json). Any workload whose implied bandwidth exceeds it is
+# physically impossible and marks tunnel queue-state variance, not a rate.
+STREAM_CEILING_GBS = 655.0
+
+
 def _record(results, bench, size, f_str, f_jnp, x, extra=None):
     """Time both paths with the checked slope harness and append one fully
     annotated record (notes attached BEFORE serialization)."""
@@ -45,11 +51,18 @@ def _record(results, bench, size, f_str, f_jnp, x, extra=None):
     r = {"bench": bench, "size": size, "strided_s": s_str, "jnp_s": s_jnp}
     notes = [n for n in (note_s and f"strided: {note_s}",
                          note_j and f"jnp: {note_j}") if n]
-    if notes:
-        r["note"] = "; ".join(notes)
     if extra:
         for k, per_byte_or_flops in extra.items():
             r[k] = (per_byte_or_flops / s_str / 1e9) if s_str > 0 else float("nan")
+        gbs = r.get("strided_gbs")
+        if gbs is not None and gbs > STREAM_CEILING_GBS:
+            notes.append(
+                f"implied {gbs:.0f} GB/s exceeds the measured stream ceiling "
+                f"({STREAM_CEILING_GBS:.0f}) - unreliable (queue-state "
+                f"variance), treat as no-measurement"
+            )
+    if notes:
+        r["note"] = "; ".join(notes)
     results.append(r)
     return r
 

@@ -78,6 +78,11 @@ class Config:
     # reduction codegen is the better scheduler, so the engine only uses
     # Pallas tiles for pure maps (where it wins, 270-340 vs 260-300 GB/s).
     pallas_reductions: bool = _env_bool("PALLAS_REDUCTIONS", False)
+    # Structured-pattern dispatch in the lazy-expression layer: recognize
+    # (v + v.T) * alpha and run the two-pass tile-pair symmetrize kernel
+    # (~326 vs ~265 GB/s generic three-pass at 8192^2/f32, r3 measured).
+    # Off -> every expression takes the generic fused engine.
+    expr_pattern_dispatch: bool = _env_bool("EXPR_PATTERN_DISPATCH", True)
     # Route order-aligned (no in-VMEM transpose needed) pure maps through
     # Pallas tiles. Default OFF: measured on v5e, XLA's fused elementwise
     # codegen wins on aligned layouts (compute-bound broadcast 8192^2:

@@ -231,7 +231,9 @@ def _try_symmetrize(expr: "StridedExpr"):
 
     cfg = get_config()
     n = parent2d.shape[0]
-    if not cfg.use_pallas or n * n < cfg.min_pallas_elements:
+    if not (cfg.use_pallas and cfg.expr_pattern_dispatch):
+        return None
+    if n * n < cfg.min_pallas_elements:
         return None
     tile = next((t for t in (512, 256, 128) if n % t == 0), None)
     if tile is None:

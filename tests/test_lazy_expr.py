@@ -271,3 +271,20 @@ def test_symmetrize_pattern_traced_scalar_stays_generic():
         np.testing.assert_allclose(got, (an + an.T) * 0.5, rtol=1e-6)
     finally:
         set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_symmetrize_pattern_config_toggle():
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True,
+                   expr_pattern_dispatch=False)
+        a, v = _sym_input(128)
+        le.LAST_EXPR_DISPATCH = ""
+        got = np.asarray((v + st.transpose(v)) * 0.5)
+        assert le.LAST_EXPR_DISPATCH == "generic"
+        an = np.asarray(a, np.float64)
+        np.testing.assert_allclose(got, (an + an.T) * 0.5, rtol=1e-6)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
