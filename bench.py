@@ -40,7 +40,11 @@ PER_CHIP_TARGET = 10_000 / 8  # BASELINE.md: 10k solves/s on v5e-8
 from strided_tpu.utils.timing import time_fn, time_chained, time_slope  # noqa: E402
 
 
-def bench_mpc_solves(batch=32768, horizon=50, admm_iters=20):
+def bench_mpc_solves(batch=16384, horizon=50, admm_iters=20):
+    # batch 16384 sits at the measured throughput knee (r3 sweep,
+    # results_tpu_r3.json): 4096->12.6M, 16384->11.6-12.1M, 32768->9.4-9.7M,
+    # 65536->7.9M solves/s — beyond ~16K the B x (N*m) ADMM iterates go
+    # HBM-bound and per-solve cost rises.
     from strided_tpu.models import quadrotor, hover_state, hover_input
     from strided_tpu.mpc import make_hover_mpc
 
@@ -321,7 +325,7 @@ def main():
     # ---- headline ----
     solves, sec = bench_mpc_solves()
     print(
-        f"[bench] quadrotor MPC (N=50, ADMM20, batch 32768): "
+        f"[bench] quadrotor MPC (N=50, ADMM20, batch 16384): "
         f"{solves:,.0f} solves/s ({sec*1e3:.2f} ms/batch)",
         file=sys.stderr,
     )
