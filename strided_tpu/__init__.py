@@ -14,6 +14,7 @@ from .core.view import (  # noqa: F401
     StridedLayoutError,
     strided,
     as_view,
+    isstrided,
     permutedims,
     transpose,
     adjoint,
@@ -45,7 +46,7 @@ from .core.mapreduce import (  # noqa: F401
 from .core.broadcast import sbroadcast, sbroadcast_into, StridedExpr  # noqa: F401
 from .linalg import mul, matmul, axpy, axpby, lmul, rmul, scale_into, contract  # noqa: F401
 from .api import strided_jit, maybe_strided, maybe_unstrided, to_array  # noqa: F401
-from .core.kernels_special import symmetrize  # noqa: F401
+from .core.kernels_special import symmetrize, pair_axpby  # noqa: F401
 from . import ops  # noqa: F401
 
 __version__ = "0.1.0"

@@ -83,8 +83,15 @@ def sbroadcast(f: Callable, *args) -> StridedView:
 
 
 def sbroadcast_into(out, f: Callable, *args) -> StridedView:
-    """In-place fused broadcast: ``out .= f.(args...)``."""
+    """In-place fused broadcast: ``out .= f.(args...)``. Identity writes of
+    a pattern-matching lazy expression (``v.at[:].set(w + w.T)``) route
+    through the tile-pair kernel (see ``lazy_expr.try_pattern_into``)."""
+    from .lazy_expr import try_pattern_into
+
     out = out if isinstance(out, StridedView) else strided(out)
+    hit = try_pattern_into(out, f, args)
+    if hit is not None:
+        return hit
     g, views = flatten_operands(f, args)
     shape = tuple(out.shape)
     bshape = _broadcast_shape(shape, *[v.shape for v in views])

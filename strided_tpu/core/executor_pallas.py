@@ -66,6 +66,17 @@ class _Ineligible(Exception):
     pass
 
 
+def _demote(reason: str):
+    """Decline the Pallas path, logging why at DEBUG so silent path
+    demotions are observable (ADVICE r3 item 3)."""
+    import logging
+
+    logging.getLogger("strided_tpu.dispatch").debug(
+        "pallas path demoted: %s", reason
+    )
+    raise _Ineligible(reason)
+
+
 def _reducer_for(op):
     """Map a known binary reduce op to its jnp tile-reducer (Mosaic lowers
     these natively); unknown ops return None -> XLA fallback, mirroring the
@@ -142,16 +153,19 @@ def _run(f, op, initop, dims, out, ins, cfg):
         closed = jax.make_jaxpr(f)(
             *[jax.ShapeDtypeStruct((1,) * len(dims), v.dtype) for v in ins]
         )
-        if any(
-            isinstance(c, (jax.Array, jax.core.Tracer)) or getattr(c, "ndim", None)
-            is not None
-            for c in closed.consts
-        ):
-            raise _Ineligible
+        for c in closed.consts:
+            if isinstance(c, (jax.Array, jax.core.Tracer)):
+                # device arrays / traced values (any rank) cannot be closed
+                # over by a pallas_call kernel ("captures constants")
+                _demote(f"closure captures {type(c).__name__}")
+            elif getattr(c, "ndim", 0) > 0:
+                _demote("closure captures an array constant")
+            # else: 0-d plain-numpy scalars lower as literals — eligible
+            # (ADVICE r3 item 3)
     except _Ineligible:
         raise
-    except Exception:
-        raise _Ineligible  # f not abstractly traceable here -> let XLA try
+    except Exception as e:  # f not abstractly traceable here -> let XLA try
+        _demote(f"f not abstractly traceable: {type(e).__name__}: {e}")
 
     red0 = tuple(
         i for i in range(len(dims)) if out.strides[i] == 0 and dims[i] != 1

@@ -124,15 +124,18 @@ class StridedExpr:
     def evaluate(self) -> StridedView:
         """Collapse into one fused kernel; returns a dense StridedView.
 
-        Structured patterns are recognized first: ``(v + v.T) * alpha`` (in
-        any of its spellings) dispatches to the two-pass tile-pair
-        symmetrize kernel — 325.9 vs ~265 GB/s for the generic three-pass
-        engine at 8192²/f32 (benchmarks/results_tpu_r3.json), because the
-        kernel reads A once while the generic engine reads A and A.T as two
-        operands. Everything else takes the generic fused path."""
+        Structured patterns are recognized first: the transpose-pair family
+        ``alpha*A + beta*C.T`` in all its spellings — ``(v + v.T)/2``
+        (symmetrize), ``v - v.T``, ``3*v + 2*v.T`` (axpby-transpose,
+        `/root/reference/src/linalg.jl:39-42`), distinct-buffer ``v + w.T``
+        — dispatches to the tile-pair kernel (~326 vs ~265 GB/s for the
+        generic three-pass engine at 8192²/f32,
+        benchmarks/results_tpu_r3.json): same-buffer pairs read A once
+        (two HBM passes), distinct pairs replace transposed HBM reads with
+        in-VMEM transposes. Everything else takes the generic fused path."""
         from .broadcast import sbroadcast
 
-        res = _try_symmetrize(self)
+        res = try_pattern_expr(self)
         if res is not None:
             return res
         global LAST_EXPR_DISPATCH
@@ -157,9 +160,20 @@ class StridedExpr:
 
 
 # Observability for tests/benchmarks: which path the last evaluate() took
-# ("symmetrize-kernel" or "generic"). Trace-time global, same caveats as
-# executor_pallas.LAST_PLAN.
+# ("pair-kernel" or "generic"). Trace-time global, same caveats as
+# executor_pallas.LAST_PLAN. Only set to "pair-kernel" AFTER the shared
+# eligibility predicate (kernels_special.pair_kernel_tile) has confirmed the
+# kernel will actually run (ADVICE r3 item 1).
 LAST_EXPR_DISPATCH: str = ""
+
+
+def identity_f(x):
+    """Marker identity used by ``copy_into``/``.at[...].set`` so the façades
+    can recognize a pure copy of a lazy expression and route it through the
+    structured pattern dispatch — the in-place analog of the reference's
+    ``B .= (A .+ A')./2`` hitting the same engine as the allocating spelling
+    (`/root/reference/src/broadcast.jl:24,27-37`)."""
+    return x
 
 
 def _python_scalar(x):
@@ -173,83 +187,172 @@ def _python_scalar(x):
     return float(x)
 
 
-def _match_transpose_pair(a, b):
-    """Both operands 2-D square views of the SAME dense buffer, one the lazy
-    transpose of the other, offsets 0 — i.e. ``v`` and ``v.T`` in either
-    order. Returns the (n, n) row-major parent array or None."""
-    if not (isinstance(a, StridedView) and isinstance(b, StridedView)):
+def _square_parent(v, n):
+    """The parent as an (n, n) array when ``v`` covers it fully, else None."""
+    if v.conj or v.ndim != 2 or v.shape != (n, n) or n == 0 or v.offset != 0:
         return None
-    if a.conj or b.conj or a.ndim != 2 or b.ndim != 2:
+    if int(v.parent.shape[0]) != n * n:
         return None
-    n = a.shape[0]
-    if a.shape != (n, n) or b.shape != (n, n) or n == 0:
-        return None
-    if a.parent is not b.parent or a.offset != 0 or b.offset != 0:
-        return None
-    row_major = (n, 1)
-    col_major = (1, n)
-    if {a.strides, b.strides} != {row_major, col_major}:
-        return None
-    if int(a.parent.shape[0]) != n * n:
-        return None
-    return a.parent.reshape(n, n)
+    return v.parent.reshape(n, n)
 
 
-def _try_symmetrize(expr: "StridedExpr"):
-    """Recognize ``(v + v.T) * alpha`` / ``(v + v.T) / s`` / ``v + v.T`` and
-    run the dedicated tile-pair kernel. Returns a StridedView or None."""
-    alpha = None
-    add_node = None
+def _linear_term(x):
+    """Parse one addend of the pair pattern: a bare view, ``scalar * view``
+    (either order), or ``-view``. Returns ``(coeff, view)`` or None."""
+    if isinstance(x, StridedView):
+        return 1.0, x
+    if isinstance(x, StridedExpr) and len(x.raw_args) == 2 and x.raw_op is jnp.multiply:
+        for s, e in (x.raw_args, x.raw_args[::-1]):
+            sc = _python_scalar(s)
+            if sc is not None and isinstance(e, StridedView):
+                return sc, e
+    if (
+        isinstance(x, StridedExpr)
+        and x.raw_op is jnp.negative
+        and len(x.raw_args) == 1
+        and isinstance(x.raw_args[0], StridedView)
+    ):
+        return -1.0, x.raw_args[0]
+    return None
+
+
+def _match_pair(expr: "StridedExpr"):
+    """Recognize the transpose-pair family over the raw (un-flattened) tree:
+
+        epilogue( c1*X (+|-) c2*Y )
+
+    where exactly one of {X, Y} is a plain row-major square view and the
+    other the lazy transpose of a (possibly different) square buffer, and
+    the epilogue is nothing, ``* scalar``, or ``/ scalar``. Returns
+    ``(A2d, C2d_or_None, alpha, beta, scale_mode, scale)`` — ``C2d`` None
+    means both terms view the SAME buffer (``v`` and ``v.T``; matched by
+    object identity, see the eager-use caveat in ``try_pattern_expr``) —
+    or None when the tree doesn't match."""
+    scale_mode, scale = None, 1.0
+    inner = expr
     op = expr.raw_op
     args = expr.raw_args
-    if op is jnp.add:
-        alpha, add_node = 1.0, expr
-    elif op is jnp.multiply and len(args) == 2:
+    if op is jnp.multiply and len(args) == 2:
         for s, e in (args, args[::-1]):
             sc = _python_scalar(s)
             if sc is not None and isinstance(e, StridedExpr):
-                alpha, add_node = sc, e
+                scale_mode, scale, inner = "mul", sc, e
                 break
+        else:
+            return None
     elif op is jnp.true_divide and len(args) == 2:
         sc = _python_scalar(args[1])
-        if sc not in (None, 0.0) and isinstance(args[0], StridedExpr):
-            alpha, add_node = 1.0 / sc, args[0]
-    if add_node is None or alpha is None:
-        return None
-    if add_node is not expr and add_node.raw_op is not jnp.add:
-        return None
-    aargs = add_node.raw_args
-    if len(aargs) != 2:
-        return None
-    parent2d = _match_transpose_pair(*aargs)
-    if parent2d is None:
-        return None
-    if str(parent2d.dtype) not in ("float32", "bfloat16"):
-        return None
+        if sc in (None, 0.0) or not isinstance(args[0], StridedExpr):
+            return None
+        scale_mode, scale, inner = "div", sc, args[0]
 
+    if not isinstance(inner, StridedExpr) or len(inner.raw_args) != 2:
+        return None
+    if inner.raw_op is jnp.add:
+        sign2 = 1.0
+    elif inner.raw_op is jnp.subtract:
+        sign2 = -1.0
+    else:
+        return None
+    t1 = _linear_term(inner.raw_args[0])
+    t2 = _linear_term(inner.raw_args[1])
+    if t1 is None or t2 is None:
+        return None
+    (c1, v1), (c2, v2) = t1, t2
+    c2 *= sign2
+
+    n = v1.shape[0] if v1.ndim == 2 else 0
+    row_major, col_major = (n, 1), (1, n)
+    terms = []
+    for c, v in ((c1, v1), (c2, v2)):
+        p = _square_parent(v, n)
+        if p is None or v.strides not in (row_major, col_major):
+            return None
+        terms.append((c, p, v.strides == col_major))
+    (ca, pa, ta), (cb, pb, tb) = terms
+    if ta == tb:
+        return None  # need exactly one plain + one transposed operand
+    if tb:  # second term is the transposed one: (alpha, A) = plain term
+        alpha, A, beta, C = ca, pa, cb, pb
+        same = v1.parent is v2.parent
+    else:
+        alpha, A, beta, C = cb, pb, ca, pa
+        same = v1.parent is v2.parent
+    return A, (None if same else C), alpha, beta, scale_mode, scale
+
+
+def try_pattern_expr(expr: "StridedExpr"):
+    """Dispatch ``expr`` to the tile-pair kernel when it matches the
+    transpose-pair family AND the kernel's own eligibility predicate
+    confirms it will run (never claims the kernel while it would silently
+    fall back). Returns a dense StridedView or None.
+
+    Caveat (eager use): the same-buffer match compares ``a.parent is
+    b.parent`` — two separate ``strided(x)`` wraps of one array are
+    *different* parent objects, so ``strided(x) + strided(x).T`` misses the
+    2-pass kernel (it still matches as a DISTINCT-buffer pair, reading the
+    buffer twice). Under ``strided_jit`` the argument is wrapped once, so
+    the fast form always matches; pinned by
+    ``tests/test_lazy_expr.py::test_pair_pattern_eager_double_wrap``."""
     from ..config import get_config
 
     cfg = get_config()
-    n = parent2d.shape[0]
-    if not (cfg.use_pallas and cfg.expr_pattern_dispatch):
+    if not cfg.expr_pattern_dispatch:
         return None
-    if n * n < cfg.min_pallas_elements:
+    m = _match_pair(expr)
+    if m is None:
         return None
-    tile = next((t for t in (512, 256, 128) if n % t == 0), None)
+    A, C, alpha, beta, scale_mode, scale = m
+    if str(A.dtype) not in ("float32", "bfloat16"):
+        return None
+    if C is not None and C.dtype != A.dtype:
+        return None  # mixed dtypes promote in the generic path; kernel can't
+
+    from .kernels_special import pair_kernel_tile, pair_axpby
+
+    n = A.shape[0]
+    tile = pair_kernel_tile(n, n, A.dtype, distinct=C is not None)
     if tile is None:
         return None
 
-    from .kernels_special import symmetrize
-
     global LAST_EXPR_DISPATCH
-    LAST_EXPR_DISPATCH = "symmetrize-kernel"
+    LAST_EXPR_DISPATCH = "pair-kernel"
     import logging
 
     logging.getLogger("strided_tpu.dispatch").debug(
-        "evaluate: (v + v.T) * %g -> symmetrize tile-pair kernel (n=%d, tile=%d)",
-        alpha, n, tile,
+        "evaluate: %g*A + %g*%s.T (%s %g) -> tile-pair kernel (n=%d, tile=%d)",
+        alpha, beta, "C" if C is not None else "A",
+        scale_mode, scale, n, tile,
     )
-    return strided(symmetrize(parent2d, tile=tile, alpha=alpha))
+    return strided(
+        pair_axpby(
+            A, C, alpha=alpha, beta=beta,
+            scale_mode=scale_mode, scale=scale, tile=tile,
+        )
+    )
+
+
+def try_pattern_into(out: StridedView, f, ins):
+    """In-place route into the pair kernel: ``map_into(out, identity, expr)``
+    / ``copy_into(out, expr)`` / ``v.at[:].set(expr)`` hit the same kernel
+    as the allocating spelling when ``out`` is a full dense row-major view
+    of its parent (the kernel's fresh buffer then simply REPLACES the
+    parent — a free functional update). Returns the updated view or None."""
+    if f is not identity_f or len(ins) != 1 or not isinstance(ins[0], StridedExpr):
+        return None
+    expr = ins[0]
+    if tuple(expr.shape) != tuple(out.shape) or out.conj or out.offset != 0:
+        return None
+    from .view import row_major_strides
+
+    if out.strides != row_major_strides(out.shape):
+        return None
+    if int(out.parent.shape[0]) != out.size:
+        return None
+    res = try_pattern_expr(expr)
+    if res is None or res.dtype != out.dtype:
+        return None
+    return StridedView(res.parent, out.shape, out.strides, 0, False)
 
 
 def _expr_binop(f):

@@ -33,12 +33,14 @@ from typing import Any, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "StridedView",
     "StridedLayoutError",
     "strided",
     "as_view",
+    "isstrided",
     "row_major_strides",
     "permutedims",
     "transpose",
@@ -172,12 +174,25 @@ class StridedView:
 
 
 def strided(x: Union[jax.Array, StridedView, Any]) -> StridedView:
-    """Wrap a dense array as a :class:`StridedView` (no copy).
+    """Wrap an array as a :class:`StridedView`.
 
-    Analog of the reference's ``StridedView(::DenseArray)`` constructor and of
-    ``maybestrided`` (`/root/reference/src/macros.jl:31-34`)."""
+    Analog of the reference's ``StridedView(::DenseArray)`` constructor and
+    of ``maybestrided`` (`/root/reference/src/macros.jl:31-34`). Dense (C-
+    contiguous) inputs wrap with row-major strides; **non-contiguous numpy
+    arrays are ADOPTED**, not densified: the layout ``(shape, strides,
+    offset)`` is re-derived from the numpy ``.strides``/data pointer over
+    the owning base buffer — the analog of the reference constructor
+    re-deriving strided layouts from ``SubArray``/``ReshapedArray`` parents
+    (`/root/reference/README.md:237-250`) — so ``np.lib.stride_tricks``
+    windows, transposes, and negative-step slices keep their lazy layout.
+    Non-element-aligned layouts raise :class:`StridedLayoutError`, like the
+    reference's error on non-strided-expressible parents (its
+    ``ReinterpretArray`` case). Note the whole base buffer is transferred
+    to HBM once (device memory is flat; the view stays metadata)."""
     if isinstance(x, StridedView):
         return x
+    if isinstance(x, np.ndarray) and not x.flags.c_contiguous and x.size > 0:
+        return _adopt_numpy(x)
     x = jnp.asarray(x)
     return StridedView(
         parent=x.reshape(-1),
@@ -186,6 +201,95 @@ def strided(x: Union[jax.Array, StridedView, Any]) -> StridedView:
         offset=0,
         conj=False,
     )
+
+
+def _adopt_numpy(x: "np.ndarray") -> StridedView:
+    """Derive (shape, strides, offset) from a non-contiguous numpy array's
+    byte strides over its owning base buffer (see :func:`strided`)."""
+    itemsize = x.itemsize
+    if any(s % itemsize for s in x.strides):
+        raise StridedLayoutError(
+            f"cannot adopt numpy layout: byte strides {x.strides} are not "
+            f"multiples of the {itemsize}-byte element size"
+        )
+    strides_el = tuple(s // itemsize for s in x.strides)
+    root = _numpy_root(x)
+    if root.dtype.itemsize != itemsize or root.dtype != x.dtype:
+        raise StridedLayoutError(
+            f"cannot adopt numpy view of dtype {x.dtype} over a base of "
+            f"dtype {root.dtype} (reinterpreted layouts are not strided)"
+        )
+    off_bytes = x.__array_interface__["data"][0] - root.__array_interface__["data"][0]
+    if off_bytes % itemsize:
+        raise StridedLayoutError(
+            "cannot adopt numpy view: data offset is not element-aligned"
+        )
+    offset = off_bytes // itemsize
+    if root.flags.c_contiguous:
+        flat = root.reshape(-1)
+    elif root.flags.f_contiguous:
+        flat = root.reshape(-1, order="F")  # memory-order view, no copy
+    else:
+        raise StridedLayoutError(
+            "cannot adopt numpy view: owning base buffer is not contiguous"
+        )
+    lo = offset + sum(min(0, (d - 1) * s) for d, s in zip(x.shape, strides_el))
+    hi = offset + sum(max(0, (d - 1) * s) for d, s in zip(x.shape, strides_el))
+    if lo < 0 or hi >= root.size:
+        raise StridedLayoutError(
+            f"adopted view spans [{lo}, {hi}] outside base of {root.size} elements"
+        )
+    return StridedView(
+        parent=jnp.asarray(flat),
+        shape=tuple(x.shape),
+        strides=strides_el,
+        offset=offset,
+        conj=False,
+    )
+
+
+def isstrided(x) -> bool:
+    """Can ``x`` be expressed as a strided view without a copy? — the
+    reference's ``isstrided`` predicate (StridedViews.jl, re-exported at
+    `/root/reference/src/Strided.jl:12-16`). True for views, jax arrays,
+    and numpy arrays whose layout :func:`strided` can adopt."""
+    if isinstance(x, (StridedView, jax.Array)):
+        return True
+    if isinstance(x, np.ndarray):
+        if x.flags.c_contiguous or x.size == 0:
+            return True
+        try:
+            _adopt_shape_check(x)
+            return True
+        except StridedLayoutError:
+            return False
+    return False
+
+
+def _numpy_root(x: "np.ndarray") -> "np.ndarray":
+    """Deepest ndarray in the ``.base`` chain (walking through non-ndarray
+    links like ``np.lib.stride_tricks``' DummyArray)."""
+    node, root = x, x
+    while True:
+        b = getattr(node, "base", None)
+        if b is None:
+            break
+        node = b
+        if isinstance(b, np.ndarray):
+            root = b
+    return root
+
+
+def _adopt_shape_check(x: "np.ndarray") -> None:
+    """Layout-only validation of :func:`_adopt_numpy` (no device transfer)."""
+    itemsize = x.itemsize
+    if any(s % itemsize for s in x.strides):
+        raise StridedLayoutError("non-element-aligned strides")
+    root = _numpy_root(x)
+    if root.dtype != x.dtype:
+        raise StridedLayoutError("reinterpreted dtype")
+    if not (root.flags.c_contiguous or root.flags.f_contiguous):
+        raise StridedLayoutError("non-contiguous base")
 
 
 as_view = strided
@@ -359,8 +463,12 @@ class _IndexUpdate:
         return self._finish(sbroadcast_into(sub, f, *args))
 
     def set(self, value) -> StridedView:
-        """``v[idx] .= value`` (scalar / array / view / lazy expr)."""
-        return self.apply(lambda x: x, value)
+        """``v[idx] .= value`` (scalar / array / view / lazy expr). Pattern-
+        matching expressions route through the tile-pair kernel when the
+        indexed sub-view is a full dense window (e.g. ``v.at[:].set(...)``)."""
+        from .lazy_expr import identity_f
+
+        return self.apply(identity_f, value)
 
     def add(self, value) -> StridedView:
         """``v[idx] .+= value``."""

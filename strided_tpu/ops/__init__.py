@@ -10,6 +10,7 @@ from ..core.view import (  # noqa: F401
     StridedLayoutError,
     strided,
     as_view,
+    isstrided,
     permutedims,
     transpose,
     adjoint,
@@ -41,4 +42,4 @@ from ..core.broadcast import sbroadcast, sbroadcast_into  # noqa: F401
 from ..core.regularize import materialize  # noqa: F401
 from ..linalg import mul, matmul, axpy, axpby, lmul, rmul, scale_into, contract  # noqa: F401
 from ..api import strided_jit, to_array  # noqa: F401
-from ..core.kernels_special import symmetrize  # noqa: F401
+from ..core.kernels_special import symmetrize, pair_axpby  # noqa: F401

@@ -147,10 +147,12 @@ def test_broadcasting_inside_expr():
     np.testing.assert_allclose(np.asarray(e), a + row, rtol=1e-14)
 
 
-# ---- structured-pattern dispatch: (v + v.T) * alpha -> symmetrize kernel ----
-# The reference's flagship `B .= (A .+ A')./2` (README.md:69-73) through the
-# generic operator API; the lazy tree retains enough structure to route it to
-# the two-pass tile-pair kernel (325.9 vs ~265 GB/s generic, r3 measured).
+# ---- structured-pattern dispatch: alpha*A + beta*C.T -> tile-pair kernel ---
+# The reference's flagship `B .= (A .+ A')./2` (README.md:69-73) and the
+# axpby-transpose family (`/root/reference/src/linalg.jl:39-42`, README row 2)
+# through the generic operator API; the lazy tree retains enough structure to
+# route them to the two-pass tile-pair kernel (325.9 vs ~265 GB/s generic,
+# r3 measured).
 
 from strided_tpu.core import lazy_expr as le
 
@@ -161,17 +163,25 @@ def _sym_input(n=256, dtype=jnp.float32, seed=3):
 
 
 @pytest.mark.parametrize(
-    "build, alpha",
+    "build, oracle",
     [
-        (lambda v: (v + st.transpose(v)) * 0.5, 0.5),
-        (lambda v: 0.5 * (v + st.transpose(v)), 0.5),
-        (lambda v: (v + st.transpose(v)) / 2, 0.5),
-        (lambda v: (st.transpose(v) + v) / 2, 0.5),  # either operand order
-        (lambda v: v + st.transpose(v), 1.0),
-        (lambda v: (v + st.transpose(v)) * 3.0, 3.0),
+        (lambda v: (v + st.transpose(v)) * 0.5, lambda a: (a + a.T) * 0.5),
+        (lambda v: 0.5 * (v + st.transpose(v)), lambda a: (a + a.T) * 0.5),
+        (lambda v: (v + st.transpose(v)) / 2, lambda a: (a + a.T) / 2),
+        (lambda v: (st.transpose(v) + v) / 2, lambda a: (a + a.T) / 2),
+        (lambda v: v + st.transpose(v), lambda a: a + a.T),
+        (lambda v: (v + st.transpose(v)) * 3.0, lambda a: (a + a.T) * 3.0),
+        # axpby-transpose family (VERDICT r3 item 5)
+        (lambda v: v - st.transpose(v), lambda a: a - a.T),
+        (lambda v: 3.0 * v + 2.0 * st.transpose(v), lambda a: 3 * a + 2 * a.T),
+        (lambda v: (3.0 * v - st.transpose(v) * 2.0) * 0.25,
+         lambda a: (3 * a - a.T * 2) * 0.25),
+        (lambda v: -v + st.transpose(v), lambda a: -a + a.T),
+        # non-power-of-two divisor: kernel divides too -> still exact
+        (lambda v: (v + st.transpose(v)) / 3, lambda a: (a + a.T) / 3),
     ],
 )
-def test_symmetrize_pattern_dispatches_and_is_correct(build, alpha):
+def test_pair_pattern_dispatches_and_is_correct(build, oracle):
     from strided_tpu.config import set_config, get_config
 
     old = get_config()
@@ -181,8 +191,8 @@ def test_symmetrize_pattern_dispatches_and_is_correct(build, alpha):
         e = build(v)
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(e)
-        assert le.LAST_EXPR_DISPATCH == "symmetrize-kernel"
-        want = (np.asarray(a, np.float64) + np.asarray(a, np.float64).T) * alpha
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        want = oracle(np.asarray(a, np.float64))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
     finally:
         set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
@@ -191,17 +201,138 @@ def test_symmetrize_pattern_dispatches_and_is_correct(build, alpha):
 @pytest.mark.parametrize(
     "build, oracle",
     [
-        (lambda v, w: (v + st.transpose(w)) * 0.5,   # different parents
+        # distinct buffers: the 3-pass pair kernel (streaming reads only)
+        (lambda v, w: (v + st.transpose(w)) * 0.5,
          lambda a, b: (a + b.T) * 0.5),
+        (lambda v, w: v - st.transpose(w), lambda a, b: a - b.T),
+        (lambda v, w: st.transpose(w) - v, lambda a, b: b.T - a),
+        (lambda v, w: 2.0 * v + st.transpose(w) * 3.0,
+         lambda a, b: 2 * a + b.T * 3),
+    ],
+)
+def test_pair_pattern_distinct_buffers(build, oracle):
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        a, v = _sym_input(256)
+        b, w = _sym_input(256, seed=4)
+        e = build(v, w)
+        le.LAST_EXPR_DISPATCH = ""
+        got = np.asarray(e)
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(got, oracle(an, bn), rtol=1e-5, atol=1e-5)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+@pytest.mark.parametrize("n", [320, 200, 400])
+def test_pair_pattern_non_divisible_sizes(n):
+    """Edge-tile clamping (VERDICT r3 item 1): sizes NOT divisible by any
+    kernel tile still dispatch; overlapping clamped tiles write bit-identical
+    values. The reference's literal flagship is 4000x4000 (n % 512 != 0)."""
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        a, v = _sym_input(n, seed=7)
+        e = (v + st.transpose(v)) / 2
+        le.LAST_EXPR_DISPATCH = ""
+        got = np.asarray(e)
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel", n
+        an = np.asarray(a, np.float64)
+        np.testing.assert_allclose(got, (an + an.T) / 2, rtol=1e-6, atol=1e-6)
+        # bit-exact vs the generic path (identical op structure)
+        set_config(expr_pattern_dispatch=False)
+        le.LAST_EXPR_DISPATCH = ""
+        want_bits = np.asarray((v + st.transpose(v)) / 2)
+        assert le.LAST_EXPR_DISPATCH == "generic"
+        np.testing.assert_array_equal(got, want_bits)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_pair_pattern_in_place_routes():
+    """copy_into(out, expr) and v.at[:].set(expr) hit the same kernel as the
+    allocating spelling (VERDICT r3 item 5, in-place routes)."""
+    from strided_tpu.config import set_config, get_config
+    from strided_tpu.core.mapreduce import copy_into
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        a, v = _sym_input(256, seed=9)
+        an = np.asarray(a, np.float64)
+        out = st.strided(jnp.zeros((256, 256), jnp.float32))
+        le.LAST_EXPR_DISPATCH = ""
+        res = copy_into(out, v + st.transpose(v))
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        np.testing.assert_allclose(
+            np.asarray(res.parent).reshape(256, 256), an + an.T, rtol=1e-6
+        )
+        out2 = st.strided(jnp.zeros((256, 256), jnp.float32))
+        le.LAST_EXPR_DISPATCH = ""
+        res2 = out2.at[:].set((v + st.transpose(v)) / 2)
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        np.testing.assert_allclose(
+            np.asarray(res2.parent).reshape(256, 256), (an + an.T) / 2, rtol=1e-6
+        )
+        # a windowed destination must NOT take the replace-parent shortcut
+        big = st.strided(jnp.zeros((300, 300), jnp.float32))
+        le.LAST_EXPR_DISPATCH = ""
+        res3 = big.at[:256, :256].set(v + st.transpose(v))
+        full = np.zeros((300, 300))
+        full[:256, :256] = an + an.T
+        np.testing.assert_allclose(
+            np.asarray(res3.parent).reshape(300, 300), full, rtol=1e-6
+        )
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_pair_pattern_eager_double_wrap():
+    """Pins the documented eager-use caveat: two separate strided() wraps of
+    the same array have different parent objects, so the SAME-buffer 2-pass
+    match misses — but the expression still dispatches as a distinct-buffer
+    pair and stays correct."""
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        a = jnp.asarray(np.random.default_rng(11).standard_normal((256, 256)),
+                        jnp.float32)
+        e = st.strided(a) + st.transpose(st.strided(a))
+        m = le._match_pair(e)
+        assert m is not None
+        A, C, alpha, beta, _, _ = m
+        assert C is not None  # distinct-buffer match, not the 2-pass one
+        le.LAST_EXPR_DISPATCH = ""
+        got = np.asarray(e)
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        an = np.asarray(a, np.float64)
+        np.testing.assert_allclose(got, an + an.T, rtol=1e-6)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+@pytest.mark.parametrize(
+    "build, oracle",
+    [
         (lambda v, w: (v + v) * 0.5,                 # not a transpose pair
          lambda a, b: a),
         (lambda v, w: (v + st.transpose(v)) * w,     # non-scalar multiplier
          lambda a, b: (a + a.T) * b),
-        (lambda v, w: (v - st.transpose(v)) * 0.5,   # subtraction, not add
-         lambda a, b: (a - a.T) * 0.5),
+        (lambda v, w: v * st.transpose(v),           # multiply, not add/sub
+         lambda a, b: a * a.T),
+        (lambda v, w: (v + st.transpose(v)) + w,     # 3-term tree
+         lambda a, b: (a + a.T) + b),
     ],
 )
-def test_symmetrize_pattern_rejects_and_generic_is_correct(build, oracle):
+def test_pair_pattern_rejects_and_generic_is_correct(build, oracle):
     from strided_tpu.config import set_config, get_config
 
     old = get_config()
