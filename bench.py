@@ -133,8 +133,12 @@ def bench_symmetrize_flagship_size(n=4000):
         v = st.strided(x)
         return st.to_array((v + st.transpose(v)) / 2)
 
+    # 64 MB arrays run ~230 us/step: k must be large enough that the loop-
+    # length delta (~30 ms at k2-k1=128) dwarfs the tunnel's queue jitter —
+    # at k2=40 the small-size slope can swing by 2x (r4 measurement note in
+    # DESIGN.md).
     nbytes = a.size * 4 * 2
-    sec = time_slope(engine, a, k1=8, k2=40)
+    sec = time_slope(engine, a, k1=32, k2=160)
     return nbytes / sec / 1e9
 
 

@@ -116,10 +116,20 @@ def bench_symmetrize(results, quick):
         f_jnp = lambda x: (x + x.T) * 0.5
         _record(results, "symmetrize", d, f_str, f_jnp, a,
                 extra={"strided_gbs": d * d * 4 * 2})
-        if d % 512 == 0:  # kernel path needs tile-divisible sizes
-            f_k = lambda x: st.symmetrize(x, tile=512)
-            _record(results, "symmetrize_kernel", d, f_k, f_jnp, a,
-                    extra={"strided_gbs": d * d * 4 * 2})
+        # edge-clamped kernel runs at ANY size >= 128 since r4
+        f_k = lambda x: st.symmetrize(x, tile=512 if d >= 512 else None)
+        _record(results, "symmetrize_kernel", d, f_k, f_jnp, a,
+                extra={"strided_gbs": d * d * 4 * 2})
+
+        # axpby-transpose spelling (reference README row 2 family /
+        # src/linalg.jl:39-42) through the pattern dispatch
+        def f_axpby(x):
+            v = st.strided(x)
+            return st.to_array(3.0 * v + 2.0 * st.transpose(v))
+
+        _record(results, "axpby_transpose", d, f_axpby,
+                lambda x: 3.0 * x + 2.0 * x.T, a,
+                extra={"strided_gbs": d * d * 4 * 2})
 
 
 def bench_compute_bound(results, quick):

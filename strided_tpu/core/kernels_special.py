@@ -269,9 +269,6 @@ def _pair_fallback(a, c, alpha, beta, scale_mode, scale):
     return S
 
 
-@functools.partial(
-    jax.jit, static_argnames=("alpha", "beta", "scale_mode", "scale", "tile")
-)
 def pair_axpby(
     a: jax.Array,
     c: jax.Array = None,
@@ -292,7 +289,11 @@ def pair_axpby(
     ``None`` / ``'mul'`` / ``'div'``: the epilogue replicates the top-level
     node of the source expression so results match the generic path
     bit-for-bit. Falls back to the plain fused expression whenever
-    :func:`pair_kernel_tile` says the kernel cannot run."""
+    :func:`pair_kernel_tile` says the kernel cannot run.
+
+    Eligibility is decided OUTSIDE the jit cache (config toggles take
+    effect immediately in eager use; under an enclosing jit the decision is
+    trace-time, like every dispatch decision in the engine)."""
     n, m = a.shape
     cfg = get_config()
     distinct = c is not None
@@ -311,6 +312,34 @@ def pair_axpby(
     if not ok:
         return _pair_fallback(a, c, alpha, beta, scale_mode, scale)
     interpret = cfg.interpret or jax.default_backend() != "tpu"
+    if distinct:
+        return _pair_call(a, c, alpha=alpha, beta=beta, scale_mode=scale_mode,
+                          scale=scale, tile=T, interpret=interpret)
+    return _pair_call_same(a, alpha=alpha, beta=beta, scale_mode=scale_mode,
+                           scale=scale, tile=T, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret"),
+)
+def _pair_call_same(a, *, alpha, beta, scale_mode, scale, tile, interpret):
+    return _pair_call_impl(a, None, alpha, beta, scale_mode, scale, tile, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret"),
+)
+def _pair_call(a, c, *, alpha, beta, scale_mode, scale, tile, interpret):
+    return _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret)
+
+
+def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret):
+    n = a.shape[0]
+    T = tile
+    distinct = c is not None
+    core = (n // 128) * 128
 
     # Clamped worklist over the 128-aligned core: ceil(core/T) tile rows,
     # the last starting at core-T (a multiple of 128, so the alignment stays

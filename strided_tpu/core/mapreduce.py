@@ -393,8 +393,9 @@ def sreduce(f: Callable, op: Callable, v, init=None):
         ident = reduce_identity(op, rdt)
         initop = (lambda x: jnp.full_like(x, ident)) if ident is not None else None
         if ident is None:
-            # Unknown identity: materialize (fused) and fold sequentially —
-            # the reference errors here under threading, we stay serial.
+            # Unknown identity: materialize (fused) and tree-fold in
+            # log-depth — the reference errors here under threading
+            # (`/root/reference/src/mapreduce.jl:188-191`).
             vals = total_f(*[materialize(b) for b in bviews])
             return _reduce_vals(op, jnp.broadcast_to(vals, shape), tuple(range(ndim)))
     else:
