@@ -156,7 +156,7 @@ def main():
         # traffic model for square: reads = 2 tiles/pair, writes = 2 (1 diag)
         reads = sq_pairs * 2 * T * T * 4
         writes = (sq_pairs * 2 - nb) * T * T * 4
-        results[f"square_{T}"] = (reads + writes) / sec / 1e9
+        results[f"square_{T}"] = float((reads + writes) / sec / 1e9)
         print(f"square T={T}: {results[f'square_{T}']:.1f} GB/s "
               f"(worklist bytes model)", flush=True)
 
@@ -165,7 +165,7 @@ def main():
         # rect traffic: per step reads (T*2T + 2T*T), writes same
         rbytes = nwork * 4 * T * (2 * T) * 4
         sec = time_slope(lambda x, T=T: rect_pairs(x, T=T)[0], a, k1=8, k2=40)
-        results[f"rect_{T}x{2*T}"] = rbytes / sec / 1e9
+        results[f"rect_{T}x{2*T}"] = float(rbytes / sec / 1e9)
         print(f"rect  T={T}x{2*T}: {results[f'rect_{T}x{2*T}']:.1f} GB/s "
               f"({nwork} supertiles)", flush=True)
 

@@ -83,6 +83,17 @@ class Config:
     # (~326 vs ~265 GB/s generic three-pass at 8192^2/f32, r3 measured).
     # Off -> every expression takes the generic fused engine.
     expr_pattern_dispatch: bool = _env_bool("EXPR_PATTERN_DISPATCH", True)
+    # Streaming manual-DMA reduction kernel for leading-physical-axis
+    # partial reductions (kernels_special.try_stream_reduce). Measured r4
+    # at 8192^2 f32: 763 GB/s vs XLA 698 in the 2-pass chained model (the
+    # isolated reduction read pass ~721 vs ~613) — the redesign the r3
+    # revisiting-grid path (28-103 GB/s, kept test-only) called for.
+    stream_reductions: bool = _env_bool("STREAM_REDUCTIONS", True)
+    # Below this many input elements the stream-reduce kernel is skipped
+    # (XLA wins in the on-chip-resident regime; see DESIGN.md r4 study).
+    min_stream_reduce_elements: int = _env_int(
+        "MIN_STREAM_REDUCE_ELEMENTS", 1 << 24
+    )
     # Route order-aligned (no in-VMEM transpose needed) pure maps through
     # Pallas tiles. Default OFF: measured on v5e, XLA's fused elementwise
     # codegen wins on aligned layouts (compute-bound broadcast 8192^2:

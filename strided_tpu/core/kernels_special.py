@@ -62,7 +62,7 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-__all__ = ["symmetrize", "pair_axpby", "pair_kernel_tile"]
+__all__ = ["symmetrize", "pair_axpby", "pair_kernel_tile", "try_stream_reduce"]
 
 _OK_DTYPES = ("float32", "bfloat16")
 
@@ -414,3 +414,218 @@ def symmetrize(a: jax.Array, tile: int = None, alpha: float = 0.5) -> jax.Array:
     if alpha == 1.0:
         return pair_axpby(a, tile=tile)
     return pair_axpby(a, scale_mode="mul", scale=alpha, tile=tile)
+
+
+# ---------------------------------------------------------------------------
+# Streaming reduction kernel (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+# The r3 revisiting-BlockSpec reduction grid measured 28-103 GB/s and was
+# demoted to test-only (``pallas_reductions=False``). This is its redesign in
+# the manual-DMA style of the pair kernel: double-buffered (R, C) input
+# slabs, a VMEM accumulator per column block, column-block-parallel outer
+# grid, sequential row-slab inner grid. Measured r4 at 8192^2 f32
+# (benchmarks/exp_reduce.py, results_tpu_r4.json): slab 256x4096 sustains
+# **763 GB/s** in the 2-pass chained model vs XLA's 698 — isolating the
+# reduction read pass, ~721 GB/s vs XLA's ~613 (HBM spec 819). The engine
+# dispatches leading-physical-axis reductions here (``sreduce_dims``); all
+# other shapes keep XLA's streaming codegen.
+
+_STREAM_REDUCERS = None
+
+
+def _stream_reducers():
+    global _STREAM_REDUCERS
+    if _STREAM_REDUCERS is None:
+        import operator
+
+        _STREAM_REDUCERS = [
+            ((operator.add, jnp.add),
+             lambda v, axis: jnp.sum(v, axis=axis, dtype=v.dtype), jnp.add),
+            ((operator.mul, jnp.multiply),
+             lambda v, axis: jnp.prod(v, axis=axis, dtype=v.dtype), jnp.multiply),
+            ((jnp.minimum,), jnp.min, jnp.minimum),
+            ((jnp.maximum,), jnp.max, jnp.maximum),
+        ]
+    return _STREAM_REDUCERS
+
+
+def _make_stream_reduce_kernel(nR: int, R: int, C: int, f, slab_red, combine,
+                               out_dtype):
+    def kernel(a_hbm, out_ref, s_in, acc, in_sems):
+        rs = jnp.asarray(pl.program_id(1), jnp.int32)
+        cb = jnp.asarray(pl.program_id(0), jnp.int32)
+        slot = rs % 2
+        nxt = (rs + 1) % 2
+
+        def dma(sl, r_):
+            return pltpu.make_async_copy(
+                a_hbm.at[pl.ds(r_ * R, R), pl.ds(cb * C, C)],
+                s_in.at[sl],
+                in_sems.at[sl],
+            )
+
+        @pl.when(rs == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(rs + 1 < nR)
+        def _():
+            dma(nxt, rs + 1).start()
+
+        dma(slot, rs).wait()
+        partial = slab_red(f(s_in[slot]).astype(out_dtype), 0)
+
+        @pl.when(rs == 0)
+        def _():
+            acc[...] = partial
+
+        @pl.when(rs > 0)
+        def _():
+            acc[...] = combine(acc[...], partial)
+
+        @pl.when(rs == nR - 1)
+        def _():
+            out_ref[...] = acc[...]
+
+    return kernel
+
+
+def _stream_reduce_2d(arr2d, f, slab_red, combine, out_dtype, R, C, interpret):
+    """out[c] = fold over rows of f(arr2d)[:, c]; arr2d (N, M), M % C == 0,
+    N % R == 0 (callers handle tails)."""
+    N, M = arr2d.shape
+    nR = N // R
+    grid = (M // C, nR)
+    return pl.pallas_call(
+        _make_stream_reduce_kernel(nR, R, C, f, slab_red, combine, out_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((C,), lambda cb, rs: (cb,)),
+        out_shape=jax.ShapeDtypeStruct((M,), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), arr2d.dtype),
+            pltpu.VMEM((C,), out_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+    )(arr2d)
+
+
+# Observability: "stream-kernel" when the last sreduce_dims dispatched here.
+LAST_REDUCE_DISPATCH: str = ""
+
+
+def try_stream_reduce(total_f, op, view, axes, rdt):
+    """Dispatch a partial reduction to the streaming kernel when the layout
+    qualifies; returns the dense result in the LOGICAL kept shape (reduced
+    dims dropped) or None.
+
+    Qualifies when: single bijective dense view (a free reshape of its flat
+    parent — includes lazy transposes/permutes), every reduced logical axis
+    sits in the LEADING physical block (so the slab walk is contiguous),
+    the kept block's flat extent is a multiple of 128 lanes, op has a known
+    streaming reducer, dtypes are 4-byte or bf16, the composed map closure
+    captures no arrays, and the problem is large enough to be HBM-bound."""
+    from ..config import get_config
+    from .regularize import decompose
+
+    cfg = get_config()
+    if not (_HAS_PALLAS and cfg.use_pallas and cfg.stream_reductions):
+        return None
+    if view.conj or str(view.dtype) not in ("float32", "bfloat16", "int32"):
+        return None
+    if str(rdt) not in ("float32", "bfloat16", "int32"):
+        return None
+    n_el = 1
+    for d in view.shape:
+        n_el *= d
+    if n_el < cfg.min_stream_reduce_elements:
+        return None
+    reducer = None
+    for ops_, slab_red, combine in _stream_reducers():
+        if any(op is o for o in ops_):
+            reducer = (slab_red, combine)
+            break
+    if reducer is None:
+        return None
+    # closure probe (pallas kernels cannot capture arrays/tracers) + the
+    # map must be elementwise/shape-preserving to apply per-slab
+    try:
+        closed = jax.make_jaxpr(total_f)(jax.ShapeDtypeStruct((1, 1), view.dtype))
+        if any(
+            isinstance(c, (jax.Array, jax.core.Tracer)) or getattr(c, "ndim", 0) > 0
+            for c in closed.consts
+        ):
+            return None
+        out_aval = jax.eval_shape(
+            total_f, jax.ShapeDtypeStruct((2, 3), view.dtype)
+        )
+        if tuple(out_aval.shape) != (2, 3):
+            return None
+    except Exception:
+        return None
+
+    dec = decompose(view.shape, view.strides, view.offset)
+    # bijective dense relabeling of the whole parent, no broadcast dims
+    if dec.overlapping or any(dec.flipped) or dec.min_offset != 0:
+        return None
+    if len(dec.real_axes) != sum(1 for d in view.shape if d != 1):
+        return None
+    n = len(dec.sizes)
+    if n == 0 or dec.strides[-1] != 1:
+        return None
+    for k in range(n - 1):
+        if dec.strides[k] != dec.sizes[k + 1] * dec.strides[k + 1]:
+            return None
+    if math.prod(dec.sizes) != int(view.parent.shape[0]):
+        return None
+
+    axes = set(axes)
+    red_phys = [k for k, a in enumerate(dec.real_axes) if a in axes]
+    kept_phys = [k for k, a in enumerate(dec.real_axes) if a not in axes]
+    # reduced axes must be exactly the leading physical block
+    if red_phys != list(range(len(red_phys))) or not red_phys or not kept_phys:
+        return None
+    N = math.prod(dec.sizes[k] for k in red_phys)
+    M = math.prod(dec.sizes[k] for k in kept_phys)
+    C = next((c for c in (4096, 2048, 1024, 512, 256, 128) if M % c == 0), None)
+    if C is None or N < 2:
+        return None
+    R = 256
+    interpret = cfg.interpret or jax.default_backend() != "tpu"
+
+    arr2d = view.parent.reshape(N, M)
+    slab_red, combine = reducer
+    N0 = (N // R) * R
+    if N0 == 0:
+        return None
+    out = _stream_reduce_2d(
+        arr2d[:N0] if N0 != N else arr2d, total_f, slab_red, combine, rdt,
+        R, C, interpret,
+    )
+    if N0 != N:  # tail rows (< R): fused XLA reduce, combined once
+        tail = slab_red(total_f(arr2d[N0:]).astype(rdt), 0)
+        out = combine(out, tail)
+    # physical kept shape -> logical kept order (cheap: M elements)
+    kept_sizes = tuple(dec.sizes[k] for k in kept_phys)
+    out = out.reshape(kept_sizes)
+    kept_logical = sorted(dec.real_axes[k] for k in kept_phys)
+    order = [kept_logical.index(dec.real_axes[k]) for k in kept_phys]
+    # out axes currently in physical order; transpose so axes follow
+    # ascending logical order
+    inv = np.argsort(np.array(order))
+    if list(inv) != list(range(len(order))):
+        out = jnp.transpose(out, tuple(inv))
+    global LAST_REDUCE_DISPATCH
+    LAST_REDUCE_DISPATCH = "stream-kernel"
+    import logging
+
+    logging.getLogger("strided_tpu.dispatch").debug(
+        "sreduce_dims: leading-axis reduction (N=%d, M=%d) -> streaming "
+        "Pallas kernel (R=%d, C=%d)", N, M, R, C,
+    )
+    return out
