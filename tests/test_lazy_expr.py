@@ -228,7 +228,7 @@ def test_pair_pattern_distinct_buffers(build, oracle):
         set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
 
 
-@pytest.mark.parametrize("n", [320, 200, 400])
+@pytest.mark.parametrize("n", [320, 200, 400, 137])
 def test_pair_pattern_non_divisible_sizes(n):
     """Edge-tile clamping (VERDICT r3 item 1): sizes NOT divisible by any
     kernel tile still dispatch; overlapping clamped tiles write bit-identical
@@ -417,5 +417,27 @@ def test_symmetrize_pattern_config_toggle():
         assert le.LAST_EXPR_DISPATCH == "generic"
         an = np.asarray(a, np.float64)
         np.testing.assert_allclose(got, (an + an.T) * 0.5, rtol=1e-6)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_pair_pattern_bfloat16():
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        a = jnp.asarray(
+            np.random.default_rng(17).standard_normal((256, 256)), jnp.bfloat16
+        )
+        v = st.strided(a)
+        le.LAST_EXPR_DISPATCH = ""
+        got = ((v + st.transpose(v)) / 2).materialize()
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        want = jnp.asarray((a + a.T) / 2)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
     finally:
         set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})

@@ -497,3 +497,24 @@ def test_stream_reduce_3d_middle_kept_order():
         )
     finally:
         _restore_cfg(old)
+
+
+def test_stream_reduce_complete_sum():
+    """Complete reductions fold through the streaming kernel too (colsum
+    rows, then one tiny combine)."""
+    from strided_tpu.core import kernels_special as ks
+
+    old = _stream_cfg()
+    try:
+        a = rand((512, 256), np.int32, seed=15)
+        v = st.transpose(st.strided(jnp.asarray(a)))  # lazy layout
+        ks.LAST_REDUCE_DISPATCH = ""
+        got = sreduce(lambda x: x, jnp.add, v)
+        assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
+        assert int(got) == int(a.sum())
+        ks.LAST_REDUCE_DISPATCH = ""
+        gmin = sreduce(lambda x: x, jnp.minimum, st.strided(jnp.asarray(a)))
+        assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
+        assert int(gmin) == int(a.min())
+    finally:
+        _restore_cfg(old)
