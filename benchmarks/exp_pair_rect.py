@@ -148,10 +148,12 @@ def main():
     results = {}
 
     for T in (384, 256):
-        nb = n // T
+        # symmetrize runs a CLAMPED worklist over the 128-aligned core:
+        # ceil(core/T) tile rows (the r4-draft model undercounted by one row
+        # at non-divisible sizes, understating square_256 ~6%)
+        core = (n // 128) * 128
+        nb = -(-core // T)
         sq_pairs = nb * (nb + 1) // 2
-        sq_bytes = (sq_pairs * 2 + nb) * T * T * 4 * 2 - nb * T * T * 4  # reads+writes (diag writes once)
-        # square kernel full worklist
         sec = time_slope(lambda x, T=T: st.symmetrize(x, tile=T), a, k1=8, k2=40)
         # traffic model for square: reads = 2 tiles/pair, writes = 2 (1 diag)
         reads = sq_pairs * 2 * T * T * 4

@@ -84,10 +84,11 @@ class Config:
     # Off -> every expression takes the generic fused engine.
     expr_pattern_dispatch: bool = _env_bool("EXPR_PATTERN_DISPATCH", True)
     # Streaming manual-DMA reduction kernel for leading-physical-axis
-    # partial reductions (kernels_special.try_stream_reduce). Measured r4
-    # at 8192^2 f32: 763 GB/s vs XLA 698 in the 2-pass chained model (the
-    # isolated reduction read pass ~721 vs ~613) — the redesign the r3
-    # revisiting-grid path (28-103 GB/s, kept test-only) called for.
+    # reductions keeping the minor dim (kernels_special.try_stream_reduce).
+    # Measured r4 at 8192^2 f32 (collapse-proof 1-pass harness, ABAB):
+    # read pass 728-753 GB/s vs XLA 692-715; complete sums and fused
+    # contexts at parity — the redesign the r3 revisiting-grid path
+    # (28-103 GB/s, kept test-only) called for.
     stream_reductions: bool = _env_bool("STREAM_REDUCTIONS", True)
     # Below this many input elements the stream-reduce kernel is skipped
     # (XLA wins in the on-chip-resident regime; see DESIGN.md r4 study).

@@ -102,6 +102,17 @@ def _apply_coeff(t, c: float):
     return t * c
 
 
+def _epilogue(S, scale_mode, scale):
+    """The top-level scale node of the source expression — ONE definition
+    shared by the kernel, the fallback, and the strip combine so the
+    bit-exact kernel/generic contract has a single point of truth."""
+    if scale_mode == "mul":
+        return S * scale
+    if scale_mode == "div":
+        return S / scale
+    return S
+
+
 def _make_pair_kernel(
     nsteps: int,
     T: int,
@@ -124,11 +135,7 @@ def _make_pair_kernel(
     """
 
     def epilogue(S):
-        if scale_mode == "mul":
-            return S * scale
-        if scale_mode == "div":
-            return S / scale
-        return S
+        return _epilogue(S, scale_mode, scale)
 
     def kernel(ri_ref, rj_ref, *refs):
         if distinct:
@@ -262,11 +269,7 @@ def _pair_fallback(a, c, alpha, beta, scale_mode, scale):
     """Plain fused-XLA expression with the exact same op structure as the
     kernel (bit-identical results either way)."""
     S = _apply_coeff(a, alpha) + _apply_coeff((a if c is None else c).T, beta)
-    if scale_mode == "mul":
-        return S * scale
-    if scale_mode == "div":
-        return S / scale
-    return S
+    return _epilogue(S, scale_mode, scale)
 
 
 def pair_axpby(
@@ -303,6 +306,8 @@ def pair_axpby(
     core = (n // 128) * 128
     ok = (
         T is not None
+        and T % 128 == 0  # starts are prefetched in units of 128; a
+        # non-aligned explicit tile would truncate them silently
         and _HAS_PALLAS
         and cfg.use_pallas
         and n == m
@@ -391,12 +396,10 @@ def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret):
     cc = a if c is None else c
 
     def combine(a_blk, ct_blk):
-        S = _apply_coeff(a_blk, alpha) + _apply_coeff(ct_blk, beta)
-        if scale_mode == "mul":
-            return S * scale
-        if scale_mode == "div":
-            return S / scale
-        return S
+        return _epilogue(
+            _apply_coeff(a_blk, alpha) + _apply_coeff(ct_blk, beta),
+            scale_mode, scale,
+        )
 
     right = combine(a[:, core:], cc[core:, :].T)  # (n, n-core)
     out = lax.dynamic_update_slice(out, right, (0, core))
@@ -587,29 +590,40 @@ def try_stream_reduce(total_f, op, view, axes, rdt):
     axes = set(axes)
     red_phys = [k for k, a in enumerate(dec.real_axes) if a in axes]
     kept_phys = [k for k, a in enumerate(dec.real_axes) if a not in axes]
-    # reduced axes must be exactly the leading physical block
+    # reduced axes must be exactly the leading physical block, and the kept
+    # block exactly the single MINOR physical dim: the kernel views the
+    # operand as (N, M) and on TPU a reshape is only layout-free when the
+    # minor dim is unchanged (merging/splitting it re-tiles the (8, 128)
+    # blocked layout — XLA inserts a hidden full relayout copy, measured
+    # r4: the complete-sum draft that factored an arbitrary M ran at
+    # 221 GB/s vs 730 with the minor preserved). Merging the LEADING dims
+    # into N is free provided interior dims carry no interleaved sublane
+    # padding (every middle dim a multiple of 8).
     if red_phys != list(range(len(red_phys))) or not red_phys or not kept_phys:
         return None
+    if len(kept_phys) != 1:
+        return None
+    if len(dec.sizes) > 2 and any(s % 8 for s in dec.sizes[1:-1]):
+        return None
     N = math.prod(dec.sizes[k] for k in red_phys)
-    M = math.prod(dec.sizes[k] for k in kept_phys)
+    M = dec.sizes[kept_phys[0]]
     C = next((c for c in (4096, 2048, 1024, 512, 256, 128) if M % c == 0), None)
     if C is None or N < 2:
         return None
-    R = 256
+    # R must DIVIDE N: a ragged last slab would need a dynamic-size DMA, and
+    # slicing the input to a multiple (the r4-draft approach) forces XLA to
+    # materialize a near-full copy of the operand before the opaque kernel —
+    # an extra HBM pass that negates the dispatch. Row-slab starts are
+    # rs * R with R a multiple of 8, so the (8, _) sublane alignment stays
+    # provable. Non-8k row counts decline to XLA.
+    R = next((r for r in (256, 128, 64, 32, 16, 8) if N % r == 0), None)
+    if R is None:
+        return None
     interpret = cfg.interpret or jax.default_backend() != "tpu"
 
     arr2d = view.parent.reshape(N, M)
     slab_red, combine = reducer
-    N0 = (N // R) * R
-    if N0 == 0:
-        return None
-    out = _stream_reduce_2d(
-        arr2d[:N0] if N0 != N else arr2d, total_f, slab_red, combine, rdt,
-        R, C, interpret,
-    )
-    if N0 != N:  # tail rows (< R): fused XLA reduce, combined once
-        tail = slab_red(total_f(arr2d[N0:]).astype(rdt), 0)
-        out = combine(out, tail)
+    out = _stream_reduce_2d(arr2d, total_f, slab_red, combine, rdt, R, C, interpret)
     # physical kept shape -> logical kept order (cheap: M elements)
     kept_sizes = tuple(dec.sizes[k] for k in kept_phys)
     out = out.reshape(kept_sizes)

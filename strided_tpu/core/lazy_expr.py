@@ -272,12 +272,11 @@ def _match_pair(expr: "StridedExpr"):
     (ca, pa, ta), (cb, pb, tb) = terms
     if ta == tb:
         return None  # need exactly one plain + one transposed operand
+    same = v1.parent is v2.parent
     if tb:  # second term is the transposed one: (alpha, A) = plain term
         alpha, A, beta, C = ca, pa, cb, pb
-        same = v1.parent is v2.parent
     else:
         alpha, A, beta, C = cb, pb, ca, pa
-        same = v1.parent is v2.parent
     return A, (None if same else C), alpha, beta, scale_mode, scale
 
 
@@ -349,8 +348,13 @@ def try_pattern_into(out: StridedView, f, ins):
         return None
     if int(out.parent.shape[0]) != out.size:
         return None
+    if expr.dtype != out.dtype:
+        # checked BEFORE dispatching: running the kernel and then discarding
+        # its result would waste a full pass AND leave LAST_EXPR_DISPATCH
+        # claiming a path that didn't produce the output
+        return None
     res = try_pattern_expr(expr)
-    if res is None or res.dtype != out.dtype:
+    if res is None:
         return None
     return StridedView(res.parent, out.shape, out.strides, 0, False)
 

@@ -377,30 +377,31 @@ def sreduce(f: Callable, op: Callable, v, init=None):
         arr = leaf.parent
         if leaf.conj:
             arr = jnp.conj(arr)
-        # Large flat reductions stream through the manual-DMA kernel
-        # (763 vs 698 GB/s, kernels_special): fold rows to (M,) colsums,
-        # then one tiny XLA reduce.
+        # Large complete reductions stream through the manual-DMA kernel
+        # (~730 vs ~700 GB/s read pass, kernels_special): fold rows to (M,)
+        # colsums, then one tiny XLA reduce. The (N, M) row view MUST keep
+        # the leaf's PHYSICAL minor dim — factoring an arbitrary M re-tiles
+        # the (8, 128) blocked layout and XLA inserts a hidden full relayout
+        # copy (measured r4: 221 GB/s vs 730).
         from . import kernels_special
+        from .regularize import decompose as _dec
 
-        L = int(arr.shape[0])
-        if L % 128 == 0 and L >= 512 * 128:
-            # keep >= 256 rows so full slabs amortize (the kernel declines
-            # when the row count is below one slab)
-            M = next(
-                (c for c in (4096, 2048, 1024, 512, 256, 128) if L % c == 0
-                 and L // c >= 256),
-                None,
+        dphys = _dec(leaf.shape, leaf.strides, leaf.offset)
+        if (
+            len(dphys.sizes) >= 2
+            and not any(s % 8 for s in dphys.sizes[1:-1])
+        ):
+            M = dphys.sizes[-1]
+            N = math.prod(dphys.sizes[:-1])
+            rowview = StridedView(arr, (N, M), (M, 1), 0, False)
+            res = kernels_special.try_stream_reduce(
+                total_f, op, rowview, (0,), rdt
             )
-            if M is not None:
-                rowview = StridedView(arr, (L // M, M), (M, 1), 0, False)
-                res = kernels_special.try_stream_reduce(
-                    total_f, op, rowview, (0,), rdt
-                )
-                if res is not None:
-                    out = _reduce_vals(op, res, (0,))
-                    if init is not None:
-                        out = op(jnp.asarray(init, rdt), out)
-                    return out.astype(rdt)
+            if res is not None:
+                out = _reduce_vals(op, res, (0,))
+                if init is not None:
+                    out = op(jnp.asarray(init, rdt), out)
+                return out.astype(rdt)
         # reduce in the PHYSICAL shape (free reshape): XLA's staged 2-D
         # reduction beats a monolithic flat reduce.
         from .regularize import decompose

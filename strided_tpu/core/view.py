@@ -203,9 +203,12 @@ def strided(x: Union[jax.Array, StridedView, Any]) -> StridedView:
     )
 
 
-def _adopt_numpy(x: "np.ndarray") -> StridedView:
-    """Derive (shape, strides, offset) from a non-contiguous numpy array's
-    byte strides over its owning base buffer (see :func:`strided`)."""
+def _adopt_layout(x: "np.ndarray"):
+    """Validate and derive ``(strides_el, root, offset)`` for adopting a
+    non-contiguous numpy array — the SINGLE point of truth consulted by both
+    :func:`strided` (which then transfers the root) and :func:`isstrided`
+    (layout-only, no transfer). Raises :class:`StridedLayoutError` on any
+    layout :func:`strided` could not adopt."""
     itemsize = x.itemsize
     if any(s % itemsize for s in x.strides):
         raise StridedLayoutError(
@@ -219,26 +222,34 @@ def _adopt_numpy(x: "np.ndarray") -> StridedView:
             f"cannot adopt numpy view of dtype {x.dtype} over a base of "
             f"dtype {root.dtype} (reinterpreted layouts are not strided)"
         )
+    if not (root.flags.c_contiguous or root.flags.f_contiguous):
+        raise StridedLayoutError(
+            "cannot adopt numpy view: owning base buffer is not contiguous"
+        )
     off_bytes = x.__array_interface__["data"][0] - root.__array_interface__["data"][0]
     if off_bytes % itemsize:
         raise StridedLayoutError(
             "cannot adopt numpy view: data offset is not element-aligned"
         )
     offset = off_bytes // itemsize
-    if root.flags.c_contiguous:
-        flat = root.reshape(-1)
-    elif root.flags.f_contiguous:
-        flat = root.reshape(-1, order="F")  # memory-order view, no copy
-    else:
-        raise StridedLayoutError(
-            "cannot adopt numpy view: owning base buffer is not contiguous"
-        )
     lo = offset + sum(min(0, (d - 1) * s) for d, s in zip(x.shape, strides_el))
     hi = offset + sum(max(0, (d - 1) * s) for d, s in zip(x.shape, strides_el))
     if lo < 0 or hi >= root.size:
         raise StridedLayoutError(
             f"adopted view spans [{lo}, {hi}] outside base of {root.size} elements"
         )
+    return strides_el, root, offset
+
+
+def _adopt_numpy(x: "np.ndarray") -> StridedView:
+    """Derive (shape, strides, offset) from a non-contiguous numpy array's
+    byte strides over its owning base buffer (see :func:`strided`)."""
+    strides_el, root, offset = _adopt_layout(x)
+    flat = (
+        root.reshape(-1)
+        if root.flags.c_contiguous
+        else root.reshape(-1, order="F")  # memory-order view, no copy
+    )
     return StridedView(
         parent=jnp.asarray(flat),
         shape=tuple(x.shape),
@@ -259,7 +270,7 @@ def isstrided(x) -> bool:
         if x.flags.c_contiguous or x.size == 0:
             return True
         try:
-            _adopt_shape_check(x)
+            _adopt_layout(x)  # the exact validation strided() performs
             return True
         except StridedLayoutError:
             return False
@@ -280,16 +291,6 @@ def _numpy_root(x: "np.ndarray") -> "np.ndarray":
     return root
 
 
-def _adopt_shape_check(x: "np.ndarray") -> None:
-    """Layout-only validation of :func:`_adopt_numpy` (no device transfer)."""
-    itemsize = x.itemsize
-    if any(s % itemsize for s in x.strides):
-        raise StridedLayoutError("non-element-aligned strides")
-    root = _numpy_root(x)
-    if root.dtype != x.dtype:
-        raise StridedLayoutError("reinterpreted dtype")
-    if not (root.flags.c_contiguous or root.flags.f_contiguous):
-        raise StridedLayoutError("non-contiguous base")
 
 
 as_view = strided

@@ -8,9 +8,14 @@ portable across hosts; `orbax` can layer on top for multi-host async saves
 when running on pods.
 
 Structure validation (VERDICT r3 weak #6): compatibility is checked against
-a **manifest** of leaf count + per-leaf shapes/dtypes, not against the
-``str(treedef)`` repr (which changes across JAX versions). The treedef is
-still stored as an informational string for error messages and debugging.
+a **manifest** of leaf count, per-leaf key paths (``jax.tree_util.keystr``
+— container keys/indices, so same-shaped trees with different keys are
+rejected), and per-leaf shapes/dtypes — never against ``str(treedef)``
+(whose repr changes across JAX versions). The manifest is read from
+ATTRIBUTES only (``.shape``/``.dtype``), so validating against a large
+on-device template costs no device→host transfer and ``like`` may be a
+``jax.eval_shape`` skeleton. Pre-r4 checkpoints (treedef-string format)
+keep their original exact-string check.
 """
 
 from __future__ import annotations
@@ -25,19 +30,35 @@ import jax
 __all__ = ["save_pytree", "load_pytree"]
 
 
-def _manifest(leaves):
-    return [
-        {"shape": list(np.shape(l)), "dtype": str(np.asarray(l).dtype)}
-        for l in leaves
-    ]
+def _leaf_spec(l):
+    shape = getattr(l, "shape", None)
+    dtype = getattr(l, "dtype", None)
+    if shape is None or dtype is None:  # plain python scalar leaf
+        arr = np.asarray(l)
+        shape, dtype = arr.shape, arr.dtype
+    return {"shape": [int(d) for d in shape], "dtype": str(dtype)}
+
+
+def _manifest(tree):
+    """(paths, specs) from attributes only — no device transfer."""
+    path_leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+    paths = [jax.tree_util.keystr(p) for p, _ in path_leaves]
+    specs = [_leaf_spec(l) for _, l in path_leaves]
+    return paths, specs
 
 
 def save_pytree(path: str, tree: Any) -> None:
     """Persist any pytree of arrays (controller, warm-start, trajectory)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    paths, specs = _manifest(tree)
     meta = json.dumps(
-        {"nleaves": len(leaves), "leaves": _manifest(leaves), "treedef": str(treedef)}
+        {
+            "nleaves": len(leaves),
+            "paths": paths,
+            "leaves": specs,
+            "treedef": str(treedef),  # informational only
+        }
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez_compressed(
@@ -47,35 +68,44 @@ def save_pytree(path: str, tree: Any) -> None:
 
 def load_pytree(path: str, like: Any) -> Any:
     """Restore a pytree saved by :func:`save_pytree`; ``like`` supplies the
-    tree structure. Raises ``ValueError`` when the saved leaf count or any
-    leaf's shape/dtype does not match ``like``'s structure."""
+    tree structure (arrays or a ``jax.eval_shape`` skeleton). Raises
+    ``ValueError`` when the saved leaf count, any key path, or any leaf's
+    shape/dtype does not match ``like``'s structure."""
     data = np.load(path, allow_pickle=False)
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
     if "__manifest__" in data.files:
         meta = json.loads(bytes(data["__manifest__"]).decode())
-        saved_n, saved_leaves = meta["nleaves"], meta["leaves"]
-        saved_def = meta.get("treedef", "<unknown>")
-    else:  # pre-r4 checkpoint: fall back to counting leaf_* entries
-        saved_n = len([k for k in data.files if k.startswith("leaf_")])
-        saved_leaves = None
-        saved_def = (
-            bytes(data["__treedef__"]).decode()
-            if "__treedef__" in data.files
-            else "<unknown>"
-        )
-    if saved_n != len(like_leaves):
-        raise ValueError(
-            f"checkpoint structure mismatch: saved {saved_n} leaves, "
-            f"expected {len(like_leaves)}\n saved treedef: {saved_def}\n "
-            f"expected: {treedef}"
-        )
-    if saved_leaves is not None:
-        want = _manifest(like_leaves)
-        for i, (s, w) in enumerate(zip(saved_leaves, want)):
+        saved_n = meta["nleaves"]
+        if saved_n != len(like_leaves):
+            raise ValueError(
+                f"checkpoint structure mismatch: saved {saved_n} leaves, "
+                f"expected {len(like_leaves)}\n saved treedef: "
+                f"{meta.get('treedef', '<unknown>')}\n expected: {treedef}"
+            )
+        want_paths, want_specs = _manifest(like)
+        for i, (sp, wp) in enumerate(zip(meta.get("paths", want_paths), want_paths)):
+            if sp != wp:
+                raise ValueError(
+                    f"checkpoint structure mismatch at leaf {i}: saved key "
+                    f"path {sp!r}, expected {wp!r}"
+                )
+        for i, (s, w) in enumerate(zip(meta["leaves"], want_specs)):
             if s["shape"] != w["shape"] or s["dtype"] != w["dtype"]:
                 raise ValueError(
                     f"checkpoint leaf {i} mismatch: saved "
                     f"{s['dtype']}{s['shape']}, expected {w['dtype']}{w['shape']}"
                 )
+    else:  # pre-r4 format: exact treedef-string comparison, as written then
+        saved_n = len([k for k in data.files if k.startswith("leaf_")])
+        saved_def = (
+            bytes(data["__treedef__"]).decode()
+            if "__treedef__" in data.files
+            else "<unknown>"
+        )
+        if saved_def != str(treedef):
+            raise ValueError(
+                "checkpoint treedef mismatch:\n saved: "
+                f"{saved_def}\n expected: {treedef}"
+            )
     leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(saved_n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -406,7 +406,7 @@ def test_stream_reduce_axis0_exact_int():
 
     old = _stream_cfg()
     try:
-        a = rand((300, 256), np.int32, seed=11)  # N % 256 != 0: tail path
+        a = rand((320, 256), np.int32, seed=11)  # N % 256 != 0: R drops to 64
         v = st.strided(jnp.asarray(a))
         ks.LAST_REDUCE_DISPATCH = ""
         got = sreduce_dims(lambda x: x, jnp.add, v, (0,))
@@ -466,6 +466,14 @@ def test_stream_reduce_fused_map_and_declines():
         np.testing.assert_allclose(
             np.asarray(got2.parent).reshape(256), a.sum(1), rtol=1e-4, atol=1e-4
         )
+        # non-8-divisible reduced row count declines (no tail-copy path)
+        a9 = rand((301, 256), np.float32, seed=19)
+        ks.LAST_REDUCE_DISPATCH = ""
+        got9 = sreduce_dims(lambda x: x, jnp.add, st.strided(jnp.asarray(a9)), (0,))
+        assert ks.LAST_REDUCE_DISPATCH == ""
+        np.testing.assert_allclose(
+            np.asarray(got9.parent).reshape(256), a9.sum(0), rtol=1e-4, atol=1e-4
+        )
         # windowed (non-bijective) view declines
         w = st.sview(st.strided(jnp.asarray(a)), (slice(0, 128), slice(None)))
         ks.LAST_REDUCE_DISPATCH = ""
@@ -479,20 +487,31 @@ def test_stream_reduce_fused_map_and_declines():
         _restore_cfg(old)
 
 
-def test_stream_reduce_3d_middle_kept_order():
-    """Reduce leading logical axis of a 3-D view; kept axes keep logical
-    order. Also exercises init seeding through the kernel path."""
+def test_stream_reduce_3d_leading_axes_and_kept_minor():
+    """Reduce the two leading logical axes of a 3-D view (kept block = the
+    single physical minor dim — the only layout the kernel accepts without
+    a hidden relayout; see try_stream_reduce). Exercises init seeding, and
+    pins that a MULTI-dim kept block declines (reshaping it would re-tile
+    the minor dim -> relayout copy on TPU)."""
     from strided_tpu.core import kernels_special as ks
 
     old = _stream_cfg()
     try:
-        a = rand((300, 16, 128), np.float32, seed=14)
+        a = rand((320, 16, 128), np.float32, seed=14)
         v = st.strided(jnp.asarray(a))
         ks.LAST_REDUCE_DISPATCH = ""
-        got = sreduce_dims(lambda x: x, jnp.add, v, (0,), init=2.5)
+        got = sreduce_dims(lambda x: x, jnp.add, v, (0, 1), init=2.5)
         assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
         np.testing.assert_allclose(
-            np.asarray(got.parent).reshape(16, 128), a.sum(0) + 2.5,
+            np.asarray(got.parent).reshape(128), a.sum((0, 1)) + 2.5,
+            rtol=1e-3, atol=1e-3
+        )
+        # kept block spanning two physical dims declines
+        ks.LAST_REDUCE_DISPATCH = ""
+        got2 = sreduce_dims(lambda x: x, jnp.add, v, (0,))
+        assert ks.LAST_REDUCE_DISPATCH == ""
+        np.testing.assert_allclose(
+            np.asarray(got2.parent).reshape(16, 128), a.sum(0),
             rtol=1e-4, atol=1e-4
         )
     finally:

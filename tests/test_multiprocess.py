@@ -6,59 +6,12 @@ analog is ``jax.distributed`` + the same Mesh/shard_map code paths
 the rest of the suite exercises the collective *code*, but only within one
 process; this test launches 2 REAL processes x 4 virtual CPU devices each
 over a localhost coordinator and runs the consensus-control step and the
-k-split matmul across the process boundary (see
-``tests/multiprocess_worker.py``).
+k-split matmul across the process boundary (implementation:
+``strided_tpu/parallel/multiproc.py``, also run by
+``__graft_entry__.dryrun_multichip``).
 """
 
-import os
-import socket
-import subprocess
-import sys
-
-import pytest
-
-WORKER = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
-def run_multiprocess_check(nproc: int = 2, timeout: int = 300):
-    """Spawn ``nproc`` workers; returns their stdouts. Raises on any failure.
-    Shared with ``__graft_entry__.dryrun_multichip``'s multi-process case."""
-    addr = f"127.0.0.1:{_free_port()}"
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES",
-                     "JAX_COORDINATOR_ADDRESS", "JAX_PROCESS_ID")
-    }
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, addr, str(nproc), str(pid)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        for pid in range(nproc)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert "MULTIPROC_OK" in out, f"worker {pid} produced no OK line:\n{out}"
-    return outs
+from strided_tpu.parallel.multiproc import run_multiprocess_check
 
 
 def test_two_process_mesh_consensus_and_ksplit():
