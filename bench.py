@@ -215,7 +215,7 @@ def bench_smoke():
         a = jnp.asarray(
             np.random.default_rng(7).standard_normal((512, 384)), jnp.float32
         )
-        set_config(use_pallas=True, min_pallas_elements=1024)
+        set_config(use_pallas=True, min_pallas_elements=1024, pallas_map_min_elements=1024)
         executor_pallas.LAST_PLAN.clear()
 
         @jax.jit

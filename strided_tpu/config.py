@@ -58,6 +58,14 @@ class Config:
     # compiler-managed spills.
     vmem_budget_bytes: int = _env_int("VMEM_BUDGET_BYTES", 8 * 1024 * 1024)
     min_pallas_elements: int = _env_int("MIN_PALLAS_ELEMENTS", 1 << 15)
+    # The generic Pallas MAP path (tiled in-VMEM-transpose kernels) only
+    # beats XLA's fused codegen in the HBM-bound regime: measured r4,
+    # scale-transpose 8192^2 (67M elems) Pallas 339 vs XLA 299, but 64^4
+    # (16.7M) XLA 166 vs Pallas 159-162 and 32^4 XLA ~520 vs Pallas ~90-185
+    # (on-chip-resident regime, DESIGN.md r4 study). Maps below this many
+    # iteration elements stay on XLA; the pair/stream kernels keep their
+    # own gates.
+    pallas_map_min_elements: int = _env_int("PALLAS_MAP_MIN_ELEMENTS", 1 << 25)
     use_pallas: bool = _env_bool("USE_PALLAS", True)
     use_mxu: bool = _env_bool("USE_MXU", True)
     # Lane count is 128 on all TPU generations; sublane count for f32 is 8.

@@ -141,6 +141,10 @@ def _run(f, op, initop, dims, out, ins, cfg):
             raise _Ineligible
     if math.prod(dims) < cfg.min_pallas_elements:
         raise _Ineligible
+    if op is None and math.prod(dims) < cfg.pallas_map_min_elements:
+        # the tile-map path only wins once the working set is HBM-bound
+        # (config.pallas_map_min_elements rationale; DESIGN.md r4)
+        raise _Ineligible
     if any(d == 0 for d in dims):
         raise _Ineligible
 

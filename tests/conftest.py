@@ -49,6 +49,7 @@ TEST_PROFILES = {
     "pallas": dict(
         use_pallas=True,
         min_pallas_elements=256,
+        pallas_map_min_elements=256,
         pallas_reductions=True,
         pallas_aligned_maps=True,
     ),

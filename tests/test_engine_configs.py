@@ -27,7 +27,7 @@ def engine(request):
     old = cfg.get_config()
     if request.param == "pallas":
         cfg.set_config(
-            use_pallas=True, min_pallas_elements=256, pallas_reductions=True,
+            use_pallas=True, min_pallas_elements=256, pallas_map_min_elements=256, pallas_reductions=True,
             pallas_aligned_maps=True
         )
     else:
@@ -36,6 +36,7 @@ def engine(request):
     cfg.set_config(
         use_pallas=old.use_pallas,
         min_pallas_elements=old.min_pallas_elements,
+        pallas_map_min_elements=old.pallas_map_min_elements,
         pallas_reductions=old.pallas_reductions,
         pallas_aligned_maps=old.pallas_aligned_maps,
     )

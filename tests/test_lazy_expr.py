@@ -441,3 +441,34 @@ def test_pair_pattern_bfloat16():
         )
     finally:
         set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_pair_pattern_size_fuzz_bit_exact():
+    """Randomized sizes x spellings: the clamped-core + strips composition
+    must be bit-exact vs the generic path at EVERY size (the coverage proof
+    for the edge handling)."""
+    from strided_tpu.config import set_config, get_config
+
+    rng = np.random.default_rng(42)
+    spellings = [
+        lambda v: (v + st.transpose(v)) / 2,
+        lambda v: v - st.transpose(v),
+        lambda v: 2.0 * v + st.transpose(v) * 0.5,
+    ]
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+        for trial in range(6):
+            n = int(rng.integers(128, 600))
+            a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+            v = st.strided(a)
+            build = spellings[trial % len(spellings)]
+            le.LAST_EXPR_DISPATCH = ""
+            got = np.asarray(build(v))
+            assert le.LAST_EXPR_DISPATCH == "pair-kernel", n
+            set_config(expr_pattern_dispatch=False)
+            want = np.asarray(build(st.strided(a)))
+            set_config(expr_pattern_dispatch=True)
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})

@@ -25,11 +25,13 @@ def small_threshold():
     # so it must engage regardless of the suite-wide engine profile
     # (STRIDED_TPU_TEST_PROFILE=xla disables Pallas globally).
     cfg.set_config(use_pallas=True, min_pallas_elements=1024,
+                   pallas_map_min_elements=1024,
                    pallas_reductions=True, pallas_aligned_maps=True)
     yield
     cfg.set_config(
         use_pallas=old.use_pallas,
         min_pallas_elements=old.min_pallas_elements,
+        pallas_map_min_elements=old.pallas_map_min_elements,
         vmem_budget_bytes=old.vmem_budget_bytes,
         pallas_reductions=old.pallas_reductions,
         pallas_aligned_maps=old.pallas_aligned_maps,

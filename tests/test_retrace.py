@@ -121,3 +121,61 @@ def test_mul_no_retrace():
                                              jnp.float32)))
     f(C1, At, B1)
     assert len(traces) == 2
+
+
+def test_pair_pattern_dispatch_no_retrace():
+    """The pair-kernel pattern dispatch under jit: same layouts -> cache
+    hit; same function works eagerly too (trace-time dispatch is a pure
+    function of static metadata + config)."""
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    traces = []
+    try:
+        set_config(min_pallas_elements=1024, use_pallas=True)
+
+        @jax.jit
+        def f(x):
+            traces.append(1)
+            v = st.strided(x)
+            return st.to_array((v + st.transpose(v)) / 2)
+
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+        r1 = f(a)
+        r2 = f(b)
+        assert len(traces) == 1, "pattern dispatch retraced on fresh data"
+        np.testing.assert_allclose(
+            np.asarray(r2), (np.asarray(b) + np.asarray(b).T) / 2, rtol=1e-6
+        )
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_stream_reduce_dispatch_no_retrace():
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    traces = []
+    try:
+        set_config(use_pallas=True, stream_reductions=True,
+                   min_stream_reduce_elements=1024)
+
+        @jax.jit
+        def f(x):
+            traces.append(1)
+            return sreduce_dims(lambda v: v, jnp.add, st.strided(x), (0,)).parent
+
+        rng = np.random.default_rng(6)
+        a = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+        f(a)
+        r2 = f(b)
+        assert len(traces) == 1, "stream-reduce dispatch retraced on fresh data"
+        np.testing.assert_allclose(
+            np.asarray(r2).reshape(256), np.asarray(b).sum(0), rtol=1e-4,
+            atol=1e-4
+        )
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
