@@ -33,6 +33,9 @@ class LinearMPC:
     u_max: jax.Array
     admm_iters: int = 20
     constrained: bool = True
+    # first admm_coarse_iters ADMM iterations run at fast DEFAULT MXU
+    # precision; the rest at the configured precision (see qp_solve)
+    admm_coarse_iters: int = 0
 
     def control(self, x, x_ref=None):
         """First-stage input for current state ``x`` ``(*batch, n)``.
@@ -40,7 +43,8 @@ class LinearMPC:
         ``x_ref``: optional target state (defaults to the equilibrium)."""
         dx = x - (self.x_eq if x_ref is None else x_ref)
         if self.constrained:
-            U = qp_solve(self.qp, dx, self.u_min, self.u_max, self.admm_iters)
+            U = qp_solve(self.qp, dx, self.u_min, self.u_max, self.admm_iters,
+                         coarse_iters=self.admm_coarse_iters)
         else:
             U = qp_solve_unconstrained(self.qp, dx)
         return U[..., 0, :] + self.u_eq, U
@@ -54,7 +58,7 @@ jax.tree_util.register_pytree_node(
     LinearMPC,
     lambda c: (
         (c.qp, c.x_eq, c.u_eq, c.u_min, c.u_max),
-        (c.admm_iters, c.constrained),
+        (c.admm_iters, c.constrained, c.admm_coarse_iters),
     ),
     lambda aux, leaves: LinearMPC(*leaves, *aux),
 )
@@ -73,6 +77,7 @@ def make_hover_mpc(
     u_max=None,
     admm_iters: int = 20,
     rho: float = 1.0,
+    admm_coarse_iters: int = 0,
 ) -> LinearMPC:
     A, B = model.linearize(jnp.asarray(x_eq), jnp.asarray(u_eq), dt)
     qp = build_condensed(A, B, Q, R, QN, horizon, rho)
@@ -87,6 +92,7 @@ def make_hover_mpc(
         u_max=(jnp.asarray(u_max, A.dtype) if u_max is not None else big),
         admm_iters=admm_iters,
         constrained=constrained,
+        admm_coarse_iters=admm_coarse_iters,
     )
 
 

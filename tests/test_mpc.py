@@ -219,3 +219,37 @@ def test_bench_config_accuracy():
     assert dev_first < 1e-4, f"first applied input off by {dev_first:.2e}"
     # measured 7.9e-2 (ADMM truncation on far-horizon stages; iters=100 -> 8e-6)
     assert dev_plan < 0.15, f"horizon plan off by {dev_plan:.2e}"
+
+
+def test_admm_coarse_iters_knob():
+    """Mixed-precision ADMM schedule (qp_solve coarse_iters): on CPU the
+    precision flag is a no-op so coarse must EQUAL the plain config
+    bit-for-bit, pinning that the split-scan refactor changes nothing but
+    the MXU mode. The measured TPU accuracy/throughput frontier is recorded
+    in benchmarks/results_tpu_r4.json (admm_mixed_precision_frontier):
+    NEGATIVE for the 1e-4 headline gate, kept as an opt-in trade."""
+    import jax.numpy as jnp
+    import numpy as np
+    from strided_tpu.models import quadrotor, hover_state, hover_input
+    from strided_tpu.mpc import make_hover_mpc
+
+    dtype = jnp.float32
+    model = quadrotor()
+    Q = jnp.diag(jnp.array([10, 10, 10, 1, 1, 1, 5, 5, 5, 1, 1, 1], dtype))
+    R = jnp.eye(4, dtype=dtype) * 0.1
+
+    def make(coarse):
+        return make_hover_mpc(
+            model, hover_state(dtype), hover_input(dtype=dtype), Q, R, Q,
+            horizon=10, dt=0.02,
+            u_min=jnp.array([-5.0, -0.5, -0.5, -0.5], dtype),
+            u_max=jnp.array([10.0, 0.5, 0.5, 0.5], dtype),
+            admm_iters=12, admm_coarse_iters=coarse,
+        )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.3, 0.3, (8, 12)), dtype
+    )
+    u0 = np.asarray(make(0).plan(x))
+    u6 = np.asarray(make(6).plan(x))
+    np.testing.assert_array_equal(u0, u6)
