@@ -47,11 +47,11 @@ STREAM_CEILING_GBS = 820.0
 def _record(results, bench, size, f_str, f_jnp, x, extra=None):
     """Time both paths with the checked slope harness and append one fully
     annotated record (notes attached BEFORE serialization). Long loops
-    (k 16->112): below ~6000^2 per-step times are 100-400 us and the
-    default k2=56 puts the loop-length delta inside the tunnel's jitter
-    (r4 regime study, DESIGN.md)."""
-    s_str, note_s = time_slope_checked(f_str, x, k1=16, k2=112)
-    s_jnp, note_j = time_slope_checked(f_jnp, x, k1=16, k2=112)
+    (k 32->160, the CLAUDE.md small-size rule): below ~6000^2 per-step
+    times are 100-400 us and short loops put the loop-length delta inside
+    the tunnel's jitter (r4 regime study, DESIGN.md)."""
+    s_str, note_s = time_slope_checked(f_str, x, k1=32, k2=160)
+    s_jnp, note_j = time_slope_checked(f_jnp, x, k1=32, k2=160)
     r = {"bench": bench, "size": size, "strided_s": s_str, "jnp_s": s_jnp}
     notes = [n for n in (note_s and f"strided: {note_s}",
                          note_j and f"jnp: {note_j}") if n]

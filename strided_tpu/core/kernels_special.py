@@ -528,11 +528,14 @@ def try_stream_reduce(total_f, op, view, axes, rdt):
     dims dropped) or None.
 
     Qualifies when: single bijective dense view (a free reshape of its flat
-    parent — includes lazy transposes/permutes), every reduced logical axis
-    sits in the LEADING physical block (so the slab walk is contiguous),
-    the kept block's flat extent is a multiple of 128 lanes, op has a known
-    streaming reducer, dtypes are 4-byte or bf16, the composed map closure
-    captures no arrays, and the problem is large enough to be HBM-bound."""
+    parent — includes lazy transposes/permutes); every reduced logical axis
+    sits in the LEADING physical block (so the slab walk is contiguous);
+    the kept block is exactly the SINGLE minor physical dim, a multiple of
+    128, with any middle dims multiples of 8 (the relayout-freedom rules —
+    see the inline comment); the reduced row count is divisible by a slab
+    height in {256..8}; op has a known streaming reducer; dtypes are 4-byte
+    or bf16; the composed map closure captures no arrays; and the problem
+    is large enough to be HBM-bound."""
     from ..config import get_config
     from .regularize import decompose
 

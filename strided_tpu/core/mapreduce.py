@@ -404,11 +404,8 @@ def sreduce(f: Callable, op: Callable, v, init=None):
                 return out.astype(rdt)
         # reduce in the PHYSICAL shape (free reshape): XLA's staged 2-D
         # reduction beats a monolithic flat reduce.
-        from .regularize import decompose
-
-        dec = decompose(leaf.shape, leaf.strides, leaf.offset)
-        if dec.sizes:
-            arr = arr.reshape(dec.sizes)
+        if dphys.sizes:
+            arr = arr.reshape(dphys.sizes)
         partial_flat = _reduce_vals(op, total_f(arr), tuple(range(arr.ndim)))
         if init is not None:
             partial_flat = op(jnp.asarray(init, rdt), partial_flat)

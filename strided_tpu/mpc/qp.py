@@ -168,14 +168,15 @@ def qp_solve(
 
     ``coarse_iters``: run the FIRST ``coarse_iters`` iterations at the MXU's
     fast DEFAULT (single-pass bf16) precision and only the remaining ones at
-    the configured precision. ADMM is a contraction toward the fixed point
-    of the operator used LAST, so accurate final iterations shrink the
-    coarse-phase bias geometrically while the coarse phase runs ~6x cheaper
-    per iteration than the exact-f32 (bf16x6) mode — measured r4: 12+8 at
-    batch 16384 passes the 1e-4 first-input gate with the same margin class
-    as 20 full-precision iterations (results_tpu_r4.json). ``g`` and the
-    warm start always use the configured precision (the fixed point itself
-    must not be biased)."""
+    the configured precision — an opt-in throughput/accuracy trade, NOT a
+    free lunch: ADMM's contraction is too slow for the accurate tail to
+    absorb the coarse-phase bias, so the headline 1e-4 first-input gate
+    FAILS for any useful split (measured r4 frontier at batch 16384, 20
+    total iters: 12+8 -> 1.1e-2 first-input error at 19.1M solves/s vs
+    2.4e-5 at 12.4M for 0+20; results_tpu_r4.json
+    ``admm_mixed_precision_frontier``). Use when ~1e-2 (0.3 % of input
+    scale) control error is acceptable. ``g`` and the warm start always use
+    the configured precision (the fixed point itself must not be biased)."""
     g = x0 @ qp.M.T  # (*batch, N*m)
     lo = jnp.tile(u_min, qp.N)
     hi = jnp.tile(u_max, qp.N)

@@ -95,17 +95,31 @@ def load_pytree(path: str, like: Any) -> Any:
                     f"checkpoint leaf {i} mismatch: saved "
                     f"{s['dtype']}{s['shape']}, expected {w['dtype']}{w['shape']}"
                 )
-    else:  # pre-r4 format: exact treedef-string comparison, as written then
+    else:  # pre-r4 format: only leaf count is reliable — treedef REPRs
+        # drift across JAX versions AND across library versions (e.g.
+        # LinearMPC gained an aux field in r4), so a string mismatch with a
+        # matching leaf count warns loudly instead of rejecting a
+        # structurally-loadable checkpoint.
         saved_n = len([k for k in data.files if k.startswith("leaf_")])
         saved_def = (
             bytes(data["__treedef__"]).decode()
             if "__treedef__" in data.files
             else "<unknown>"
         )
-        if saved_def != str(treedef):
+        if saved_n != len(like_leaves):
             raise ValueError(
-                "checkpoint treedef mismatch:\n saved: "
-                f"{saved_def}\n expected: {treedef}"
+                f"checkpoint structure mismatch: saved {saved_n} leaves, "
+                f"expected {len(like_leaves)}\n saved treedef: {saved_def}\n "
+                f"expected: {treedef}"
+            )
+        if saved_def != str(treedef):
+            import warnings
+
+            warnings.warn(
+                "pre-r4 checkpoint treedef repr differs from the template's "
+                f"(saved: {saved_def!r}); loading by leaf position — verify "
+                "the structures really correspond",
+                stacklevel=2,
             )
     leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(saved_n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
