@@ -55,6 +55,13 @@ def _record(results, bench, size, f_str, f_jnp, x, extra=None):
     r = {"bench": bench, "size": size, "strided_s": s_str, "jnp_s": s_jnp}
     notes = [n for n in (note_s and f"strided: {note_s}",
                          note_j and f"jnp: {note_j}") if n]
+    if min(s_str, s_jnp) < 2e-5:
+        # sub-20us steps sit at the tunnel's slope resolution even with long
+        # loops; the strided/jnp HLO is identical for these tiny aligned
+        # cases (one fused loop), so ratio swings here are jitter, not
+        # dispatch (r4: compute_broadcast 1024 swung 0.35x-2.2x run to run)
+        notes.append("sub-20us steps: at tunnel resolution limit, "
+                     "ratio unreliable")
     if extra:
         for k, per_byte_or_flops in extra.items():
             r[k] = (per_byte_or_flops / s_str / 1e9) if s_str > 0 else float("nan")
