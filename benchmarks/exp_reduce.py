@@ -5,6 +5,14 @@ Question: can a kernels_special-style MANUAL-DMA streaming reduction kernel
 reach >= 500 GB/s on large partial reductions, where the r3 revisiting-
 BlockSpec grid managed only 28-103 GB/s and XLA streams at 575-683?
 
+CAVEAT discovered after this script's first run: the broadcast-back chain
+used here PARTIALLY COLLAPSES even under optimization barriers (nocompute
+rows measured up to 868 GB/s > the 819 HBM spec), so its absolute numbers
+overread. The authoritative comparison is the collapse-proof dus-one-row
+harness (results_tpu_r4.json ``stream_reduce_dus_harness``): kernel read
+pass 728-753 GB/s vs XLA 692-715, ABAB interleaved. This script remains
+useful for the RELATIVE slab-geometry ordering (256x4096 best).
+
 Variants measured at 8192^2 f32, ``out[c] = sum_r A[r, c]`` (axis-0 sum —
 the reduction whose minor-dim output makes XLA work hardest):
 
