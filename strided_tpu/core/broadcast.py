@@ -113,6 +113,9 @@ def sbroadcast_into(out, f: Callable, *args) -> StridedView:
 # ---------------------------------------------------------------------------
 
 _install_operators(StridedView)
+from .lazy_expr import _install_reductions  # noqa: E402
+
+_install_reductions(StridedView)
 StridedView.__array__ = lambda self, dtype=None: np.asarray(
     materialize(self), dtype=dtype
 )

@@ -113,6 +113,27 @@ def _epilogue(S, scale_mode, scale):
     return S
 
 
+def _pair_term(a, ct, alpha: float, beta: float, plain_first: bool = True):
+    """``alpha*a + beta*ct`` with zero coefficients DROPPING their term
+    entirely (not multiplied by 0): ``alpha == 0.0`` marks the
+    single-transposed-term family (``3 .* A'``), whose generic spelling has
+    no plain term at all — computing ``0*a + ...`` would differ on
+    inf/NaN inputs and break the bit-exact kernel/generic contract.
+
+    ``plain_first`` preserves the SOURCE expression's term order: XLA may
+    contract one of the two multiplies into an FMA and chooses by operand
+    order, so ``alpha*A + beta*C.T`` and ``beta*C.T + alpha*A`` can differ
+    in the last ulp — the kernel must add in the same order as the generic
+    closure it is bit-exact against. ONE definition shared by the kernel,
+    the fallback, and the strip combine."""
+    if alpha == 0.0:
+        return _apply_coeff(ct, beta)
+    if beta == 0.0:
+        return _apply_coeff(a, alpha)
+    ta, tb = _apply_coeff(a, alpha), _apply_coeff(ct, beta)
+    return ta + tb if plain_first else tb + ta
+
+
 def _make_pair_kernel(
     nsteps: int,
     T: int,
@@ -121,6 +142,7 @@ def _make_pair_kernel(
     scale_mode,  # None | 'mul' | 'div'
     scale: float,
     distinct: bool,
+    plain_first: bool,
 ):
     """Double-buffered tile-pair kernel. Per step (ri, rj):
 
@@ -237,14 +259,14 @@ def _make_pair_kernel(
             c2 = s_in_c[slot, 1]
         else:
             c1, c2 = a1, a2
-        S1 = epilogue(_apply_coeff(a1, alpha) + _apply_coeff(c2.T, beta))
+        S1 = epilogue(_pair_term(a1, c2.T, alpha, beta, plain_first))
         if not distinct and alpha == beta:
             # symmetric case: S2 = alpha*a2 + beta*a1.T = S1.T exactly (the
             # epilogue commutes with transpose) — halves the VPU work so the
             # compute stays hidden under the DMAs (r3's kernel shape).
             S2 = S1.T
         else:
-            S2 = epilogue(_apply_coeff(a2, alpha) + _apply_coeff(c1.T, beta))
+            S2 = epilogue(_pair_term(a2, c1.T, alpha, beta, plain_first))
         s_out[slot, 0] = S1
         s_out[slot, 1] = S2
         d0, d1 = out_dmas(slot, step)
@@ -265,10 +287,10 @@ def _make_pair_kernel(
     return kernel
 
 
-def _pair_fallback(a, c, alpha, beta, scale_mode, scale):
+def _pair_fallback(a, c, alpha, beta, scale_mode, scale, plain_first=True):
     """Plain fused-XLA expression with the exact same op structure as the
     kernel (bit-identical results either way)."""
-    S = _apply_coeff(a, alpha) + _apply_coeff((a if c is None else c).T, beta)
+    S = _pair_term(a, (a if c is None else c).T, alpha, beta, plain_first)
     return _epilogue(S, scale_mode, scale)
 
 
@@ -281,6 +303,7 @@ def pair_axpby(
     scale_mode=None,
     scale: float = 1.0,
     tile: int = None,
+    plain_first: bool = True,
 ) -> jax.Array:
     """``epilogue(alpha*a + beta*c.T)`` via the two-pass tile-pair kernel.
 
@@ -301,7 +324,7 @@ def pair_axpby(
     cfg = get_config()
     distinct = c is not None
     if distinct and (c.shape != a.shape or c.dtype != a.dtype):
-        return _pair_fallback(a, c, alpha, beta, scale_mode, scale)
+        return _pair_fallback(a, c, alpha, beta, scale_mode, scale, plain_first)
     T = tile if tile is not None else pair_kernel_tile(n, m, a.dtype, distinct)
     core = (n // 128) * 128
     ok = (
@@ -315,32 +338,41 @@ def pair_axpby(
         and str(a.dtype) in _OK_DTYPES
     )
     if not ok:
-        return _pair_fallback(a, c, alpha, beta, scale_mode, scale)
+        return _pair_fallback(a, c, alpha, beta, scale_mode, scale, plain_first)
     interpret = cfg.interpret or jax.default_backend() != "tpu"
     if distinct:
         return _pair_call(a, c, alpha=alpha, beta=beta, scale_mode=scale_mode,
-                          scale=scale, tile=T, interpret=interpret)
+                          scale=scale, tile=T, interpret=interpret,
+                          plain_first=plain_first)
     return _pair_call_same(a, alpha=alpha, beta=beta, scale_mode=scale_mode,
-                           scale=scale, tile=T, interpret=interpret)
+                           scale=scale, tile=T, interpret=interpret,
+                           plain_first=plain_first)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret"),
+    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret",
+                     "plain_first"),
 )
-def _pair_call_same(a, *, alpha, beta, scale_mode, scale, tile, interpret):
-    return _pair_call_impl(a, None, alpha, beta, scale_mode, scale, tile, interpret)
+def _pair_call_same(a, *, alpha, beta, scale_mode, scale, tile, interpret,
+                    plain_first=True):
+    return _pair_call_impl(a, None, alpha, beta, scale_mode, scale, tile,
+                           interpret, plain_first)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret"),
+    static_argnames=("alpha", "beta", "scale_mode", "scale", "tile", "interpret",
+                     "plain_first"),
 )
-def _pair_call(a, c, *, alpha, beta, scale_mode, scale, tile, interpret):
-    return _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret)
+def _pair_call(a, c, *, alpha, beta, scale_mode, scale, tile, interpret,
+               plain_first=True):
+    return _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile,
+                           interpret, plain_first)
 
 
-def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret):
+def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret,
+                    plain_first=True):
     n = a.shape[0]
     T = tile
     distinct = c is not None
@@ -376,7 +408,8 @@ def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret):
     )
     operands = (ri, rj, a, c) if distinct else (ri, rj, a)
     out = pl.pallas_call(
-        _make_pair_kernel(len(pairs), T, alpha, beta, scale_mode, scale, distinct),
+        _make_pair_kernel(len(pairs), T, alpha, beta, scale_mode, scale, distinct,
+                          plain_first),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, n), a.dtype),
         interpret=interpret,
@@ -397,8 +430,7 @@ def _pair_call_impl(a, c, alpha, beta, scale_mode, scale, tile, interpret):
 
     def combine(a_blk, ct_blk):
         return _epilogue(
-            _apply_coeff(a_blk, alpha) + _apply_coeff(ct_blk, beta),
-            scale_mode, scale,
+            _pair_term(a_blk, ct_blk, alpha, beta, plain_first), scale_mode, scale
         )
 
     right = combine(a[:, core:], cc[core:, :].T)  # (n, n-core)
@@ -518,7 +550,8 @@ def _stream_reduce_2d(arr2d, f, slab_red, combine, out_dtype, R, C, interpret):
     )(arr2d)
 
 
-# Observability: "stream-kernel" when the last sreduce_dims dispatched here.
+# Observability: "stream-kernel" when the last reduction dispatched here;
+# reset to "xla" at every sreduce/sreduce_dims entry (ADVICE r4: never stale).
 LAST_REDUCE_DISPATCH: str = ""
 
 

@@ -150,13 +150,10 @@ class StridedExpr:
     def __array__(self, dtype=None):
         return np.asarray(self.materialize(), dtype=dtype)
 
-    # -- reductions fuse through the tree ---------------------------------
-    def sum(self, axis=None):
-        from .mapreduce import sreduce, sreduce_dims
-
-        if axis is None:
-            return sreduce(lambda x: x, jnp.add, self)
-        return sreduce_dims(lambda x: x, jnp.add, self, axis)
+    # -- reductions fuse through the tree (installed by
+    # ``_install_reductions`` below, shared with StridedView: the reference's
+    # mapreduce works over any op on lazy views,
+    # `/root/reference/test/othertests.jl:109-128`) --------------------------
 
 
 # Observability for tests/benchmarks: which path the last evaluate() took
@@ -219,14 +216,21 @@ def _linear_term(x):
 def _match_pair(expr: "StridedExpr"):
     """Recognize the transpose-pair family over the raw (un-flattened) tree:
 
-        epilogue( c1*X (+|-) c2*Y )
+        epilogue( c1*X (+|-) c2*Y )      — the two-term family, or
+        epilogue( c2*Y )                 — the single-transposed-term family
+                                           (``B .= 3 .* A'``, the reference's
+                                           README row 2 / ``mul!(B, 3, A')``,
+                                           `/root/reference/src/linalg.jl:22-31`)
 
-    where exactly one of {X, Y} is a plain row-major square view and the
-    other the lazy transpose of a (possibly different) square buffer, and
-    the epilogue is nothing, ``* scalar``, or ``/ scalar``. Returns
+    where (two-term) exactly one of {X, Y} is a plain row-major square view
+    and the other the lazy transpose of a (possibly different) square
+    buffer, or (single-term) Y is a lazy-transposed square view; the
+    epilogue is nothing, ``* scalar``, or ``/ scalar``. Returns
     ``(A2d, C2d_or_None, alpha, beta, scale_mode, scale)`` — ``C2d`` None
     means both terms view the SAME buffer (``v`` and ``v.T``; matched by
-    object identity, see the eager-use caveat in ``try_pattern_expr``) —
+    object identity, see the eager-use caveat in ``try_pattern_expr``), and
+    ``alpha == 0.0`` marks the single-term case (the kernel skips the plain
+    term entirely, keeping kernel/generic bit-exactness) —
     or None when the tree doesn't match."""
     scale_mode, scale = None, 1.0
     inner = expr
@@ -239,7 +243,9 @@ def _match_pair(expr: "StridedExpr"):
                 scale_mode, scale, inner = "mul", sc, e
                 break
         else:
-            return None
+            # not scalar*subexpr: could still be the single-term family
+            # ``scalar * view.T`` (the multiply node itself is the term)
+            return _match_single_transposed(expr, None, 1.0)
     elif op is jnp.true_divide and len(args) == 2:
         sc = _python_scalar(args[1])
         if sc in (None, 0.0) or not isinstance(args[0], StridedExpr):
@@ -247,13 +253,33 @@ def _match_pair(expr: "StridedExpr"):
         scale_mode, scale, inner = "div", sc, args[0]
 
     if not isinstance(inner, StridedExpr) or len(inner.raw_args) != 2:
-        return None
+        return _match_single_transposed(inner, scale_mode, scale)
     if inner.raw_op is jnp.add:
         sign2 = 1.0
     elif inner.raw_op is jnp.subtract:
         sign2 = -1.0
     else:
+        return _match_single_transposed(inner, scale_mode, scale)
+    return _match_two_terms(inner, sign2, scale_mode, scale)
+
+
+def _match_single_transposed(x, scale_mode, scale):
+    """Single-term arm of :func:`_match_pair`: ``epilogue(c * view.T)``.
+    Only a lazy-TRANSPOSED (column-major) square view qualifies — a plain
+    scaled copy is a streaming op XLA already handles at stream rate; the
+    pair kernel's value is replacing transposed HBM reads."""
+    t = _linear_term(x)
+    if t is None:
         return None
+    c, v = t
+    n = v.shape[0] if v.ndim == 2 else 0
+    p = _square_parent(v, n)
+    if p is None or n < 2 or v.strides != (1, n):
+        return None
+    return p, None, 0.0, c, scale_mode, scale, True
+
+
+def _match_two_terms(inner, sign2, scale_mode, scale):
     t1 = _linear_term(inner.raw_args[0])
     t2 = _linear_term(inner.raw_args[1])
     if t1 is None or t2 is None:
@@ -277,7 +303,10 @@ def _match_pair(expr: "StridedExpr"):
         alpha, A, beta, C = ca, pa, cb, pb
     else:
         alpha, A, beta, C = cb, pb, ca, pa
-    return A, (None if same else C), alpha, beta, scale_mode, scale
+    # plain_first records the SOURCE term order (plain term first?) so the
+    # kernel adds in the same order as the generic closure — XLA's FMA
+    # contraction is order-sensitive in the last ulp (see _pair_term).
+    return A, (None if same else C), alpha, beta, scale_mode, scale, tb
 
 
 def try_pattern_expr(expr: "StridedExpr"):
@@ -301,7 +330,7 @@ def try_pattern_expr(expr: "StridedExpr"):
     m = _match_pair(expr)
     if m is None:
         return None
-    A, C, alpha, beta, scale_mode, scale = m
+    A, C, alpha, beta, scale_mode, scale, plain_first = m
     if str(A.dtype) not in ("float32", "bfloat16"):
         return None
     if C is not None and C.dtype != A.dtype:
@@ -327,6 +356,7 @@ def try_pattern_expr(expr: "StridedExpr"):
         pair_axpby(
             A, C, alpha=alpha, beta=beta,
             scale_mode=scale_mode, scale=scale, tile=tile,
+            plain_first=plain_first,
         )
     )
 
@@ -394,4 +424,47 @@ def _install_operators(cls):
     cls.__abs__ = lambda self: StridedExpr(jnp.abs, (self,))
 
 
+def _install_reductions(cls):
+    """Install the fused-reduction method surface (``.sum/.prod/.max/.min/
+    .mean``) and ``@`` on ``cls`` — StridedView and StridedExpr share it
+    (VERDICT r4 item 9), each collapsing through the existing fused
+    reducers in ONE map+reduce pass."""
+
+    def _method(reducer_name):
+        def method(self, axis=None):
+            from . import mapreduce
+
+            return getattr(mapreduce, reducer_name)(self, axis)
+
+        method.__name__ = reducer_name.lstrip("s")
+        method.__doc__ = (
+            f"Fused ``{reducer_name}`` over this lazy view/expression "
+            f"(one map+reduce pass; see ``core.mapreduce.{reducer_name}``)."
+        )
+        return method
+
+    for name, reducer in [
+        ("sum", "ssum"),
+        ("prod", "sprod"),
+        ("max", "smax"),
+        ("min", "smin"),
+        ("mean", "smean"),
+    ]:
+        setattr(cls, name, _method(reducer))
+
+    def __matmul__(self, other):
+        from ..linalg import matmul
+
+        return matmul(self, other)
+
+    def __rmatmul__(self, other):
+        from ..linalg import matmul
+
+        return matmul(other, self)
+
+    cls.__matmul__ = __matmul__
+    cls.__rmatmul__ = __rmatmul__
+
+
 _install_operators(StridedExpr)
+_install_reductions(StridedExpr)

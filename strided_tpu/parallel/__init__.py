@@ -6,5 +6,11 @@ from .sharded import (  # noqa: F401
     scenario_consensus_control,
 )
 from .tp import matmul_nsplit, matmul_msplit, matmul_ksplit  # noqa: F401
-from .engine import choose_split_dim, sharded_smap, sharded_reduce  # noqa: F401
+from .engine import (  # noqa: F401
+    choose_split_dim,
+    sharded_smap,
+    sharded_reduce,
+    sharded_batched_pair,
+    sharded_stream_sum,
+)
 from .dist import init_distributed  # noqa: F401

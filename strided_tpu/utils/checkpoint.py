@@ -121,5 +121,17 @@ def load_pytree(path: str, like: Any) -> Any:
                 "the structures really correspond",
                 stacklevel=2,
             )
+        # Per-leaf shape/dtype check (ADVICE r4): the npz arrays carry both,
+        # so a structurally different checkpoint with a matching leaf COUNT
+        # must still be rejected rather than mis-assigning leaves.
+        want_specs = [_leaf_spec(l) for l in like_leaves]
+        for i, w in enumerate(want_specs):
+            arr = data[f"leaf_{i}"]
+            if list(arr.shape) != w["shape"] or str(arr.dtype) != w["dtype"]:
+                raise ValueError(
+                    f"checkpoint leaf {i} mismatch: saved "
+                    f"{arr.dtype}{list(arr.shape)}, expected "
+                    f"{w['dtype']}{w['shape']}"
+                )
     leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(saved_n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)

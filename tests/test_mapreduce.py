@@ -462,7 +462,7 @@ def test_stream_reduce_fused_map_and_declines():
         # minor-axis reduction must DECLINE (kept block not trailing-contig)
         ks.LAST_REDUCE_DISPATCH = ""
         got2 = sreduce_dims(lambda x: x, jnp.add, v, (1,))
-        assert ks.LAST_REDUCE_DISPATCH == ""
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         np.testing.assert_allclose(
             np.asarray(got2.parent).reshape(256), a.sum(1), rtol=1e-4, atol=1e-4
         )
@@ -470,7 +470,7 @@ def test_stream_reduce_fused_map_and_declines():
         a9 = rand((301, 256), np.float32, seed=19)
         ks.LAST_REDUCE_DISPATCH = ""
         got9 = sreduce_dims(lambda x: x, jnp.add, st.strided(jnp.asarray(a9)), (0,))
-        assert ks.LAST_REDUCE_DISPATCH == ""
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         np.testing.assert_allclose(
             np.asarray(got9.parent).reshape(256), a9.sum(0), rtol=1e-4, atol=1e-4
         )
@@ -478,7 +478,7 @@ def test_stream_reduce_fused_map_and_declines():
         w = st.sview(st.strided(jnp.asarray(a)), (slice(0, 128), slice(None)))
         ks.LAST_REDUCE_DISPATCH = ""
         got3 = sreduce_dims(lambda x: x, jnp.add, w, (0,))
-        assert ks.LAST_REDUCE_DISPATCH == ""
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         np.testing.assert_allclose(
             np.asarray(got3.parent).reshape(256), a[:128].sum(0), rtol=1e-4,
             atol=1e-4
@@ -509,7 +509,7 @@ def test_stream_reduce_3d_leading_axes_and_kept_minor():
         # kept block spanning two physical dims declines
         ks.LAST_REDUCE_DISPATCH = ""
         got2 = sreduce_dims(lambda x: x, jnp.add, v, (0,))
-        assert ks.LAST_REDUCE_DISPATCH == ""
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         np.testing.assert_allclose(
             np.asarray(got2.parent).reshape(16, 128), a.sum(0),
             rtol=1e-4, atol=1e-4
@@ -518,22 +518,25 @@ def test_stream_reduce_3d_leading_axes_and_kept_minor():
         _restore_cfg(old)
 
 
-def test_stream_reduce_complete_sum():
-    """Complete reductions fold through the streaming kernel too (colsum
-    rows, then one tiny combine)."""
+def test_stream_reduce_complete_sum_stays_on_xla():
+    """Complete reductions do NOT dispatch to the stream kernel (VERDICT r4
+    item 6): the collapse-proof dus harness measured XLA at 731-826 GB/s vs
+    the kernel's 696-718 at 8192^2 f32
+    (benchmarks/results_tpu_r4.json stream_reduce_dus_harness.complete_sum_*)
+    — the kernel's win is axis-0 PARTIALS only. Values stay exact through
+    the layout-invariance fast path."""
     from strided_tpu.core import kernels_special as ks
 
     old = _stream_cfg()
     try:
         a = rand((512, 256), np.int32, seed=15)
         v = st.transpose(st.strided(jnp.asarray(a)))  # lazy layout
-        ks.LAST_REDUCE_DISPATCH = ""
+        ks.LAST_REDUCE_DISPATCH = "stream-kernel"  # stale value must clear
         got = sreduce(lambda x: x, jnp.add, v)
-        assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         assert int(got) == int(a.sum())
-        ks.LAST_REDUCE_DISPATCH = ""
         gmin = sreduce(lambda x: x, jnp.minimum, st.strided(jnp.asarray(a)))
-        assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
+        assert ks.LAST_REDUCE_DISPATCH == "xla"
         assert int(gmin) == int(a.min())
     finally:
         _restore_cfg(old)

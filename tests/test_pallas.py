@@ -203,3 +203,60 @@ def test_symmetrize_special_kernel():
     np.testing.assert_allclose(
         np.asarray(symmetrize(b)), (np.asarray(b) + np.asarray(b).T) / 2, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("n", [1000, 392])
+def test_pair_kernel_clamped_bit_exact_vs_strips(n):
+    """ADVICE r4 item 3: the edge-clamped worklist overlaps DMA writes
+    between near-clamp pairs AND the XLA strips rewrite the corner — safe
+    ONLY while every path writes bit-identical bytes. This pins the
+    identical-value invariant in CI (not just bench.py): kernel+strips vs
+    the identical-structure fused XLA expression, EXACT equality, at sizes
+    with clamped tiles (core % tile != 0) and ragged strips, for the
+    same-buffer, distinct-buffer, and single-transposed-term families."""
+    from strided_tpu.core.kernels_special import pair_axpby
+
+    old = cfg.get_config()
+    try:
+        cfg.set_config(min_pallas_elements=1024, use_pallas=True)
+        rng = np.random.default_rng(n)
+        a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        c = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        # same-buffer symmetrize (alpha == beta: S2 = S1.T shortcut in play)
+        got = np.asarray(pair_axpby(a, scale_mode="div", scale=2.0))
+        want = np.asarray(jax.jit(lambda x: (x + x.T) / 2.0)(a))
+        np.testing.assert_array_equal(got, want)
+        # same-buffer axpby-transpose (alpha != beta): the coeff-mul + add
+        # structure gives the compiler an FMA-contraction choice, which can
+        # differ between separately compiled programs by 1 ulp on CPU — pin
+        # to a few-ulp bound (TPU bench gates the fma-free symmetrize exact)
+        got = np.asarray(pair_axpby(a, alpha=3.0, beta=2.0))
+        want = np.asarray(jax.jit(lambda x: 3.0 * x + 2.0 * x.T)(a))
+        np.testing.assert_allclose(got, want, rtol=0, atol=4e-6)
+        # distinct buffers
+        got = np.asarray(pair_axpby(a, c, alpha=1.0, beta=-1.0))
+        want = np.asarray(jax.jit(lambda x, y: x + -(y.T))(a, c))
+        np.testing.assert_array_equal(got, want)
+        # single-transposed-term (alpha == 0 drops the plain term)
+        got = np.asarray(pair_axpby(a, alpha=0.0, beta=3.0))
+        want = np.asarray(jax.jit(lambda x: x.T * 3.0)(a))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        cfg.set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_pair_kernel_flagship_4000_bit_exact():
+    """The reference's literal 4000^2 flagship size through the clamped
+    kernel, pinned bit-exact in the pallas CI profile (bench.py gates the
+    same invariant on real hardware every round)."""
+    import os
+
+    if os.environ.get("STRIDED_TPU_TEST_PROFILE") != "pallas":
+        pytest.skip("4000^2 interpret-mode run only in the pallas profile")
+    from strided_tpu.core.kernels_special import pair_axpby
+
+    rng = np.random.default_rng(40)
+    a = jnp.asarray(rng.standard_normal((4000, 4000)), jnp.float32)
+    got = np.asarray(pair_axpby(a, scale_mode="div", scale=2.0, tile=512))
+    want = np.asarray(jax.jit(lambda x: (x + x.T) / 2.0)(a))
+    np.testing.assert_array_equal(got, want)

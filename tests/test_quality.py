@@ -118,3 +118,44 @@ def test_profiling_timer_and_annotation():
         with annotate("inner"):
             _ = jnp.ones(8) + 1
     assert out and "phase" in out[0]
+
+
+def test_checkpoint_legacy_per_leaf_validation(tmp_path):
+    """ADVICE r4 item 1: a pre-r4 (manifest-less) checkpoint with the SAME
+    leaf count but different per-leaf shapes/dtypes must be rejected, not
+    silently mis-assigned."""
+    from strided_tpu.utils import load_pytree
+
+    p = str(tmp_path / "legacy.npz")
+    tree = {"a": np.zeros((3, 4), np.float32), "b": np.ones(5, np.int32)}
+    # legacy writer: leaves only, no __manifest__
+    np.savez(p, leaf_0=tree["a"], leaf_1=tree["b"])
+    # matching template loads
+    got = load_pytree(p, tree)
+    np.testing.assert_array_equal(np.asarray(got["a"]), tree["a"])
+    # same leaf COUNT, different shapes -> ValueError (per-leaf check)
+    bad = {"a": np.zeros((4, 3), np.float32), "b": np.ones(5, np.int32)}
+    with pytest.raises(ValueError, match="leaf 0 mismatch"):
+        load_pytree(p, bad)
+    # same shapes, different dtype -> ValueError
+    bad2 = {"a": np.zeros((3, 4), np.float64), "b": np.ones(5, np.int32)}
+    with pytest.raises(ValueError, match="leaf 0 mismatch"):
+        load_pytree(p, bad2)
+
+
+def test_adoption_densifies_small_window_over_huge_base():
+    """ADVICE r4 item 4: a small stride_tricks window over a much larger
+    base densifies host-side instead of uploading the whole base; a view
+    covering most of its base still adopts the lazy layout."""
+    import strided_tpu as st
+
+    base = np.arange(2_000_000, dtype=np.float32)  # 8 MB: above the cutoff
+    win = np.lib.stride_tricks.as_strided(base, shape=(8, 8), strides=(400, 4))
+    v = st.strided(win)
+    assert int(v.parent.shape[0]) == 64  # densified, not the 2M base
+    np.testing.assert_array_equal(np.asarray(st.to_array(v)), win)
+    # a transposed full matrix (base == view size) still adopts
+    m = np.arange(64 * 48, dtype=np.float32).reshape(64, 48).T
+    w = st.strided(m)
+    assert w.strides == (1, 48)
+    np.testing.assert_array_equal(np.asarray(st.to_array(w)), m)

@@ -357,3 +357,48 @@ def test_hlo_sharded_engine_partitions_not_gathers(mesh):
     # collective, never a gather of the data
     assert _count(hlo, "all-gather") == 0, hlo
     assert _count(hlo, "all-reduce") >= 1
+
+
+def test_pallas_kernels_under_shard_map(mesh):
+    """VERDICT r4 item 4 / SURVEY §2.2 row 1: the two-tier schedule — Pallas
+    kernel grid INSIDE each device's shard_map region, collectives across
+    the mesh — actually lowers and executes. Pins (a) the tile-pair kernel
+    per-device over a sharded batch, (b) the streaming reduction kernel
+    per-shard with a psum combine, and that the kernels (not fallbacks)
+    dispatched."""
+    from strided_tpu.config import set_config, get_config
+    from strided_tpu.parallel import sharded_batched_pair, sharded_stream_sum
+    from strided_tpu.core import kernels_special as ks
+
+    old = get_config()
+    try:
+        set_config(
+            use_pallas=True,
+            min_pallas_elements=1024,
+            min_stream_reduce_elements=1024,
+        )
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.standard_normal((8, 256, 256)), jnp.float32)
+        # per-device pair kernel must be eligible (the gate is consulted at
+        # trace time inside the shard_map region)
+        from strided_tpu.core.kernels_special import pair_kernel_tile
+
+        assert pair_kernel_tile(256, 256, np.dtype('float32')) is not None
+        f = jax.jit(lambda x: sharded_batched_pair(x, mesh, scale_mode="mul", scale=0.5))
+        got = np.asarray(f(x))
+        xn = np.asarray(x)
+        np.testing.assert_allclose(
+            got, (xn + np.swapaxes(xn, 1, 2)) * 0.5, rtol=1e-6, atol=1e-6
+        )
+
+        a = jnp.asarray(rng.standard_normal((1024, 256)), jnp.float32)
+        ks.LAST_REDUCE_DISPATCH = ""
+        g = jax.jit(lambda a: sharded_stream_sum(a, mesh))
+        got = np.asarray(g(a))
+        # the stream kernel (not the XLA fallback) claimed the per-shard work
+        assert ks.LAST_REDUCE_DISPATCH == "stream-kernel"
+        np.testing.assert_allclose(
+            got, np.asarray(a).sum(0), rtol=1e-4, atol=1e-3
+        )
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
