@@ -215,7 +215,7 @@ def bench_smoke():
         a = jnp.asarray(
             np.random.default_rng(7).standard_normal((512, 384)), jnp.float32
         )
-        set_config(use_pallas=True, min_pallas_elements=1024, pallas_map_min_elements=1024)
+        set_config(use_pallas=True, min_pallas_elements=1024, pair_kernel_min_elements=1024, pallas_map_min_elements=1024)
         executor_pallas.LAST_PLAN.clear()
 
         @jax.jit
@@ -232,7 +232,7 @@ def bench_smoke():
         rng = np.random.default_rng(8)
         x = jnp.asarray(rng.integers(-9, 9, (512, 256)), jnp.int32)
         old_out = jnp.asarray(rng.integers(-9, 9, (1, 256)), jnp.int32)
-        set_config(use_pallas=True, pallas_reductions=True, min_pallas_elements=1024)
+        set_config(use_pallas=True, pallas_reductions=True, min_pallas_elements=1024, pair_kernel_min_elements=1024)
         executor_pallas.LAST_PLAN.clear()
 
         @jax.jit
@@ -321,6 +321,26 @@ def bench_riccati_accuracy(N=50):
     return float(np.max(np.abs(K32 - K64))), float(np.max(np.abs(K64)))
 
 
+def bench_bf16_mfu(d=4096):
+    """Fresh-in-round bf16 MXU utilization (VERDICT r4 weak #2: the r3 MFU
+    citation went stale — every round's JSON must carry an in-round
+    measurement). Chained bf16 d^3 matmuls, slope-timed; the 1/64 rescale
+    keeps iterates stationary (entries of x@x have sd ~ sqrt(d) = 64) and
+    its cost is negligible vs the matmul."""
+    from jax import lax
+
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((d, d)), jnp.bfloat16
+    )
+
+    def f(x):
+        return (jnp.matmul(x, x, precision=lax.Precision.DEFAULT)
+                * (1.0 / 64.0)).astype(jnp.bfloat16)
+
+    sec = time_slope(f, x, k1=8, k2=40)
+    return 2 * d**3 / sec / 1e12  # TFLOP/s
+
+
 def bench_rollouts(batch=4096, T=100):
     """Slope-timed (VERDICT r3 weak #4: time_chained includes the ~25 ms
     dispatch overhead and cannot resolve < ~1 ms/call; the slope harness
@@ -387,13 +407,15 @@ def main():
         )
         # Efficiency ledger vs hardware ceilings (VERDICT r3 item 8): HBM
         # spec ~819 GB/s (measured 50/50 stream 654.6, r3); bf16 MXU peak
-        # ~197 TFLOP/s on v5e.
+        # ~197 TFLOP/s on v5e. MFU is measured FRESH each round (r4 weak #2).
+        tflops = bench_bf16_mfu()
         print(
             f"[bench] efficiency: symmetrize {egbs:.0f}/819 GB/s = "
             f"{egbs / 819:.0%} of HBM spec ({egbs / 654.6:.0%} of measured "
             f"stream; transpose-class ceiling is ~336 GB/s on this chip — "
-            f"{egbs / 336:.0%} of that); bf16 matmul 174/197 TFLOP/s = 88% "
-            f"MFU (r3, benchmarks/results_tpu_r3.json)",
+            f"{egbs / 336:.0%} of that); bf16 matmul {tflops:.0f}/197 "
+            f"TFLOP/s = {tflops / 197:.0%} MFU (measured this round, "
+            f"4096^3 slope-timed)",
             file=sys.stderr,
         )
         steps, _, note = bench_rollouts()

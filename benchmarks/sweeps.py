@@ -62,6 +62,13 @@ def _record(results, bench, size, f_str, f_jnp, x, extra=None):
         # dispatch (r4: compute_broadcast 1024 swung 0.35x-2.2x run to run)
         notes.append("sub-20us steps: at tunnel resolution limit, "
                      "ratio unreliable")
+    elif min(s_str, s_jnp) < 1.2e-4:
+        # r5 mul_overhead finding: at 50-80 us/step the strided-vs-jnp sign
+        # FLIPPED between runs while the compiled programs were
+        # instruction-identical — queue-state variance dominates this range
+        notes.append("sub-120us steps: ratio carries tunnel queue-state "
+                     "variance (r5 mul_overhead: sign flipped run-to-run "
+                     "on identical compiled programs)")
     if extra:
         for k, per_byte_or_flops in extra.items():
             r[k] = (per_byte_or_flops / s_str / 1e9) if s_str > 0 else float("nan")
@@ -72,6 +79,19 @@ def _record(results, bench, size, f_str, f_jnp, x, extra=None):
                 f"({STREAM_CEILING_GBS:.0f}) - unreliable (queue-state "
                 f"variance), treat as no-measurement"
             )
+        if gbs is not None:
+            # Regime annotation (VERDICT r4 item 8 / CLAUDE.md regime rule):
+            # chained workloads with working sets under the ~300 MB cliff
+            # run on-chip-resident for XLA-expressed arms — steady-state
+            # chained rates, NOT HBM bandwidth; never compare across the
+            # cliff. (Opaque Pallas-kernel arms stream HBM either way.)
+            ws_mb = 2 * x.size * x.dtype.itemsize / 1e6
+            if ws_mb < 300:
+                notes.append(
+                    f"on-chip-resident chained regime (working set "
+                    f"{ws_mb:.0f} MB < ~300 MB): rates are steady-state "
+                    f"chained, not HBM bandwidth"
+                )
     if notes:
         r["note"] = "; ".join(notes)
     results.append(r)
@@ -185,8 +205,13 @@ def bench_mul(results, quick):
 
 def bench_contraction(results, quick):
     """MERA-style ternary contraction C[a,d] = sum_bc A[a,b,c] W[b,c,d]
-    (benchtests.jl's tensor workload family), via lazy sreshape + mul."""
-    for d in ([32, 64] if quick else [16, 32, 64]):
+    (benchtests.jl's tensor workload family), via lazy sreshape + mul.
+
+    Bond dims 128/192 (VERDICT r4 item 1 of 'missing'): the r4 sizes 16-64
+    all ran under the ~20 us tunnel resolution floor and were flagged
+    no-measurement; d=128 is ~8.6 GFLOP/step (~0.2 ms at HIGHEST f32) and
+    d=192 ~43 GFLOP (~0.9 ms) — both well clear of the floor."""
+    for d in ([64, 128] if quick else [64, 128, 192]):
         A = jnp.asarray(
             np.random.default_rng(4).standard_normal((d * 4, d, d)), jnp.float32
         )
@@ -201,8 +226,62 @@ def bench_contraction(results, quick):
             r = st.to_array(st.mul(C, xv, wv))
             return x + r.sum() * EPS
 
-        f_jnp = lambda x: x + jnp.einsum("abc,bcd->ad", x, W).sum() * EPS
-        _record(results, "contraction_mera", d, f_str, f_jnp, A)
+        # equal precision (HIGHEST) on both sides, like bench_mul — a bare
+        # einsum runs the MXU at bf16 DEFAULT and would win 5x on precision,
+        # not dispatch (the r5 first-run trap, see git history)
+        from jax import lax
+
+        f_jnp = lambda x: x + jnp.einsum(
+            "abc,bcd->ad", x, W, precision=lax.Precision.HIGHEST
+        ).sum() * EPS
+        flops = 2 * (d * 4) * (d * 4) * d * d
+        _record(results, "contraction_mera", d, f_str, f_jnp, A,
+                extra={"strided_tflops": flops / 1e3})
+
+
+def bench_permute4_sum(results, quick):
+    """Reference README row 5 (`/root/reference/README.md:101-105`): the sum
+    of four cyclic permutes of A into B, FUSED (lazy views -> one engine
+    pass) vs the materialize-temporaries spelling — the reference's 7.8x
+    fusion-win story. The temporaries arm forces each permute through an
+    ``optimization_barrier`` (the eager-Julia-Base analog: 3 materialized
+    32 MiB temporaries); the fused arms read A four ways and write B in one
+    pass. Two records per size:
+
+    - ``permute4_fused``:       strided fused expr vs the fused jnp spelling
+                                (parity check — XLA fuses too)
+    - ``permute4_temporaries``: strided fused expr vs barriered temporaries
+                                (the fusion advantage; ratio column = win)
+
+    GB/s model: 5 passes (4 reads + 1 write) for the fused arm."""
+    from jax import lax
+
+    p2, p3, p4 = (1, 2, 3, 0), (2, 3, 0, 1), (3, 0, 1, 2)
+    for d in ([32, 64] if quick else [32, 48, 64]):
+        a = jnp.asarray(
+            np.random.default_rng(7).standard_normal((d, d, d, d)), jnp.float32
+        )
+
+        def f_str(x):
+            v = st.strided(x)
+            e = (v + st.permutedims(v, p2) + st.permutedims(v, p3)
+                 + st.permutedims(v, p4))
+            return st.to_array(e)
+
+        def f_jnp_fused(x):
+            return (x + jnp.transpose(x, p2) + jnp.transpose(x, p3)
+                    + jnp.transpose(x, p4))
+
+        def f_jnp_temporaries(x):
+            t2 = lax.optimization_barrier(jnp.transpose(x, p2))
+            t3 = lax.optimization_barrier(jnp.transpose(x, p3))
+            t4 = lax.optimization_barrier(jnp.transpose(x, p4))
+            return x + t2 + t3 + t4
+
+        _record(results, "permute4_fused", d, f_str, f_jnp_fused, a,
+                extra={"strided_gbs": a.size * 4 * 5})
+        _record(results, "permute4_temporaries", d, f_str, f_jnp_temporaries,
+                a, extra={"strided_gbs": a.size * 4 * 5})
 
 
 ALL_BENCHES = (
@@ -212,6 +291,7 @@ ALL_BENCHES = (
     bench_compute_bound,
     bench_mul,
     bench_contraction,
+    bench_permute4_sum,
 )
 
 

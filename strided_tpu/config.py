@@ -91,6 +91,16 @@ class Config:
     # (~326 vs ~265 GB/s generic three-pass at 8192^2/f32, r3 measured).
     # Off -> every expression takes the generic fused engine.
     expr_pattern_dispatch: bool = _env_bool("EXPR_PATTERN_DISPATCH", True)
+    # Pair-kernel size gate, set from the r5 collapse-proof crossover
+    # (benchmarks/results_tpu_r5.json pair_crossover_rotation; VERDICT r4
+    # items 1/weak-6: one measured rationale, one gate): the kernel wins
+    # the two-term family at every measured size >= 2048^2 (525 vs 426 at
+    # 2048, 592 vs 282 at 4000, 328 vs 274 at 8192) and LOSES at 1024^2
+    # (494 vs 681 — XLA's small-array transpose is fast). Gate at 2048^2
+    # elements; 1024-2047 stays on XLA (measured-safe side).
+    pair_kernel_min_elements: int = _env_int(
+        "PAIR_KERNEL_MIN_ELEMENTS", 1 << 22
+    )
     # Streaming manual-DMA reduction kernel for leading-physical-axis
     # reductions keeping the minor dim (kernels_special.try_stream_reduce).
     # Measured r4 at 8192^2 f32 (collapse-proof 1-pass harness, ABAB):

@@ -79,7 +79,11 @@ def pair_kernel_tile(n: int, m: int, dtype, distinct: bool = False):
         return None
     if n != m or n == 0 or str(dtype) not in _OK_DTYPES:
         return None
-    if n * n < cfg.min_pallas_elements:
+    # Size gate measured in the r5 collapse-proof crossover (see
+    # config.pair_kernel_min_elements): kernel wins >= 2048^2, XLA wins
+    # 1024^2 — below the gate the dispatch declines and XLA's fused
+    # expression (fast small-array transposes) runs instead.
+    if n * n < cfg.pair_kernel_min_elements:
         return None
     core = (n // 128) * 128  # the kernel-coverable 128-aligned core
     # Distinct-buffer pairs hold 12 tiles in VMEM (4 in x2 slots + 2 out x2)

@@ -331,6 +331,17 @@ def try_pattern_expr(expr: "StridedExpr"):
     if m is None:
         return None
     A, C, alpha, beta, scale_mode, scale, plain_first = m
+    if alpha == 0.0:
+        # Single-transposed-term family (``3 .* A'``): measured r5 with the
+        # collapse-proof interleaved-chain harness
+        # (benchmarks/results_tpu_r5.json pair_crossover_rotation), XLA's
+        # standalone transpose codegen streams 648-700 GB/s at 4000^2-5120^2
+        # vs the pair kernel's 239-392, and the two tie at >= 6144^2
+        # (325-330 both) — the kernel never wins a pure scaled transpose,
+        # so the family stays on the generic path (where XLA's transpose
+        # emitter handles it). The kernel retains alpha==0 support for
+        # direct pair_axpby calls.
+        return None
     if str(A.dtype) not in ("float32", "bfloat16"):
         return None
     if C is not None and C.dtype != A.dtype:

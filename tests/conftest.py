@@ -48,7 +48,7 @@ TEST_PROFILES = {
     "default": {},
     "pallas": dict(
         use_pallas=True,
-        min_pallas_elements=256,
+        min_pallas_elements=256, pair_kernel_min_elements=256,
         pallas_map_min_elements=256,
         pallas_reductions=True,
         pallas_aligned_maps=True,

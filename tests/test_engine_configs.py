@@ -27,7 +27,7 @@ def engine(request):
     old = cfg.get_config()
     if request.param == "pallas":
         cfg.set_config(
-            use_pallas=True, min_pallas_elements=256, pallas_map_min_elements=256, pallas_reductions=True,
+            use_pallas=True, min_pallas_elements=256, pair_kernel_min_elements=256, pallas_map_min_elements=256, pallas_reductions=True,
             pallas_aligned_maps=True
         )
     else:

@@ -318,7 +318,7 @@ def test_linalg_pair_kernel_routes():
 
     old = cfg.get_config()
     try:
-        cfg.set_config(min_pallas_elements=1024, use_pallas=True)
+        cfg.set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024, use_pallas=True)
         rng = np.random.default_rng(21)
         a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
         b = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
@@ -338,12 +338,15 @@ def test_linalg_pair_kernel_routes():
             got, np.asarray(jax.jit(lambda x, y: 3.0 * x.T + y)(a, b))
         )
 
+        # scale_into (mul!(B, 3, A')): single-term family — measured r5,
+        # XLA's transpose codegen wins (results_tpu_r5.json), so this stays
+        # on the generic path; values pinned.
         dst = st.strided(jnp.zeros((256, 256), jnp.float32))
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(st.to_array(st.scale_into(dst, 3.0, st.transpose(v))))
-        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
-        np.testing.assert_array_equal(
-            got, np.asarray(jax.jit(lambda x: x.T * 3.0)(a))
+        assert le.LAST_EXPR_DISPATCH != "pair-kernel"
+        np.testing.assert_allclose(
+            got, np.asarray(jax.jit(lambda x: x.T * 3.0)(a)), rtol=1e-6
         )
 
         # same-buffer spelling: axpby!(3, A', 2, A) — 2-pass kernel
@@ -364,21 +367,23 @@ def test_linalg_pair_route_fallbacks_unchanged():
 
     old = cfg.get_config()
     try:
-        cfg.set_config(min_pallas_elements=1024, use_pallas=True)
+        cfg.set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024, use_pallas=True)
         rng = np.random.default_rng(22)
         a = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
         b = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
         # rectangular transposed operand: generic path, correct values
         got = np.asarray(st.to_array(axpby(3.0, st.transpose(st.strided(a)), 2.0, st.strided(b))))
         np.testing.assert_allclose(
-            got, 3.0 * np.asarray(a).T + 2.0 * np.asarray(b), rtol=1e-5
+            got, 3.0 * np.asarray(a).T + 2.0 * np.asarray(b),
+            rtol=1e-5, atol=1e-5,
         )
         # non-transposed square operand: generic
         sq = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
         sq2 = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
         got = np.asarray(st.to_array(axpby(3.0, st.strided(sq), 2.0, st.strided(sq2))))
         np.testing.assert_allclose(
-            got, 3.0 * np.asarray(sq) + 2.0 * np.asarray(sq2), rtol=1e-5
+            got, 3.0 * np.asarray(sq) + 2.0 * np.asarray(sq2),
+            rtol=1e-5, atol=1e-5,
         )
         # traced (non-static) scalar: generic, still correct
         import jax

@@ -24,7 +24,7 @@ def small_threshold():
     # use_pallas forced on too: this file tests the kernel machinery itself,
     # so it must engage regardless of the suite-wide engine profile
     # (STRIDED_TPU_TEST_PROFILE=xla disables Pallas globally).
-    cfg.set_config(use_pallas=True, min_pallas_elements=1024,
+    cfg.set_config(use_pallas=True, min_pallas_elements=1024, pair_kernel_min_elements=1024,
                    pallas_map_min_elements=1024,
                    pallas_reductions=True, pallas_aligned_maps=True)
     yield
@@ -218,7 +218,7 @@ def test_pair_kernel_clamped_bit_exact_vs_strips(n):
 
     old = cfg.get_config()
     try:
-        cfg.set_config(min_pallas_elements=1024, use_pallas=True)
+        cfg.set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024, use_pallas=True)
         rng = np.random.default_rng(n)
         a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
         c = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)

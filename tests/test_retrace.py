@@ -132,7 +132,7 @@ def test_pair_pattern_dispatch_no_retrace():
     old = get_config()
     traces = []
     try:
-        set_config(min_pallas_elements=1024, use_pallas=True)
+        set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024, use_pallas=True)
 
         @jax.jit
         def f(x):
