@@ -161,6 +161,17 @@ def bench_symmetrize(results, quick):
                 lambda x: 3.0 * x + 2.0 * x.T, a,
                 extra={"strided_gbs": d * d * 4 * 2})
 
+        # the LITERAL linalg spelling axpby!(3, A', 2, A) — r5 routes it
+        # into the same pair kernel (VERDICT r4 item 2); same-buffer, so the
+        # kernel's 2-pass schedule applies
+        def f_axpby_linalg(x):
+            v = st.strided(x)
+            return st.to_array(st.axpby(3.0, st.transpose(v), 2.0, v))
+
+        _record(results, "axpby_linalg", d, f_axpby_linalg,
+                lambda x: 3.0 * x.T + 2.0 * x, a,
+                extra={"strided_gbs": d * d * 4 * 2})
+
 
 def bench_compute_bound(results, quick):
     """B = A.*exp.(-2A) .+ sin.(A.*A) — the reference's compute-bound row 3
