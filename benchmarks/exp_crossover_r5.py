@@ -26,13 +26,16 @@ measure at the ~650 GB/s stream rate, NOT the 7.9 TB/s residency artifact;
 and the 8192^2 rows must reproduce the known standalone rates
 (xla ~268, kernel ~324-331, results_tpu_r4.json crossover_k16_80).
 
-Variants per size (f32):
+Variants per size:
 - ``stream``      — x + 1.0 (litmus: must be ~650, else harness is broken)
 - ``xla_sym``     — jit (x + x.T) / 2
 - ``kernel_sym``  — pair_axpby(x, scale_mode='div', scale=2) via the gate's
                     tile choice (512 for core >= 512)
-- ``xla_scaleT``  — jit 3.0 * x.T        (README row 2 family)
-- ``kernel_scaleT`` — pair_axpby(x, alpha=0, beta=3)  (single-term kernel)
+- ``xla_scaleT``  — jit 0.999 * x.T      (README row 2 family)
+- ``kernel_scaleT`` — pair_axpby(x, alpha=0, beta=0.999) (single-term kernel)
+- ``xla/kernel_distinct`` — (x + y.T)/2 with BOTH operands evolving
+                    (rot_slope2; 3-pass GB/s model)
+- ``xla/kernel_sym_bf16`` — the symmetrize pair in bfloat16 (2-byte model)
 
 Run:  timeout 3000 python benchmarks/exp_crossover_r5.py [--sizes 4000,5120]
 Merges into benchmarks/results_tpu_r5.json under "pair_crossover_rotation".
@@ -95,6 +98,42 @@ def rot_slope(fn, arrs, k1=32, k2=160, repeats=3):
     return (total(k2) - total(k1)) / (k2 - k1) / m
 
 
+def rot_slope2(fn2, arrs, k1=32, k2=160, repeats=3):
+    """Two-operand variant for the distinct-buffer family: chain j advances
+    as ``fn2(x_j, x_{j+1 mod m})`` so BOTH operands evolve — a fixed second
+    operand would let XLA hoist its transpose out of the loop and measure
+    nothing."""
+    m = len(arrs)
+
+    def step(state):
+        return tuple(
+            lax.optimization_barrier(
+                fn2(
+                    lax.optimization_barrier(state[j]),
+                    lax.optimization_barrier(state[(j + 1) % m]),
+                )
+            )
+            for j in range(m)
+        )
+
+    def total(k):
+        @jax.jit
+        def loop(state):
+            return lax.fori_loop(0, k, lambda i, s: step(s), state)
+
+        st_ = loop(tuple(arrs))
+        _drain(st_)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            st_ = loop(tuple(arrs))
+            _drain(st_)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (total(k2) - total(k1)) / (k2 - k1) / m
+
+
 def run_size(n: int, out: dict, only=None):
     from strided_tpu.core.kernels_special import pair_axpby, pair_kernel_tile
 
@@ -109,6 +148,9 @@ def run_size(n: int, out: dict, only=None):
     rows = {"m_chains": m, "live_set_MB": round(2 * m * n * n * 4 / 1e6),
             "tile": tile}
 
+    btile = pair_kernel_tile(n, n, np.dtype("bfloat16"))
+    dtile = pair_kernel_tile(n, n, np.dtype("float32"), distinct=True)
+    other = arrs[-1]
     variants = [
         ("stream", lambda x: x + 1.0),
         ("xla_sym", lambda x: (x + x.T) / 2.0),
@@ -117,6 +159,21 @@ def run_size(n: int, out: dict, only=None):
         ("xla_scaleT", lambda x: x.T * 0.999),
         ("kernel_scaleT", lambda x: pair_axpby(x, alpha=0.0, beta=0.999,
                                                tile=tile)),
+    ]
+    # distinct-buffer family (A + B.T): 3 passes both ways (2 reads + 1
+    # write; GB/s below uses the 3-pass model); the kernel's pitch is
+    # streaming-only reads vs XLA's transposed read of B. Both operands
+    # evolve (rot_slope2) so nothing is loop-invariant.
+    distinct_variants = [
+        ("xla_distinct", lambda x, y: (x + y.T) * 0.5),
+        ("kernel_distinct", lambda x, y: pair_axpby(
+            x, y, alpha=1.0, beta=1.0, scale_mode="mul", scale=0.5,
+            tile=dtile)),
+    ]
+    bf16_variants = [
+        ("xla_sym_bf16", lambda x: (x + x.T) * jnp.bfloat16(0.5)),
+        ("kernel_sym_bf16", lambda x: pair_axpby(x, scale_mode="mul",
+                                                 scale=0.5, tile=btile)),
     ]
     for name, fn in variants:
         if only and name not in only:
@@ -127,7 +184,27 @@ def run_size(n: int, out: dict, only=None):
         except Exception as e:
             rows[name] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
         print(f"n={n} {name}: {rows[name]}", flush=True)
-    out[str(n)] = rows
+    for name, fn2 in distinct_variants:
+        if only and name not in only:
+            continue
+        try:
+            sec = rot_slope2(fn2, arrs)
+            rows[name] = round(3 * n * n * 4 / sec / 1e9, 1)
+        except Exception as e:
+            rows[name] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+        print(f"n={n} {name}: {rows[name]}", flush=True)
+    barrs = [a.astype(jnp.bfloat16) for a in arrs]
+    bbytes = n * n * 2 * 2
+    for name, fn in bf16_variants:
+        if only and name not in only:
+            continue
+        try:
+            sec = rot_slope(fn, barrs)
+            rows[name] = round(bbytes / sec / 1e9, 1)
+        except Exception as e:
+            rows[name] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+        print(f"n={n} {name}: {rows[name]}", flush=True)
+    out.setdefault(str(n), {}).update(rows)
 
 
 def main():

@@ -298,6 +298,20 @@ def _pair_fallback(a, c, alpha, beta, scale_mode, scale, plain_first=True):
     return _epilogue(S, scale_mode, scale)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "beta", "scale_mode", "scale", "plain_first"),
+)
+def pair_fallback_call(a, c, *, alpha, beta, scale_mode, scale,
+                       plain_first=True):
+    """Jitted wrapper over :func:`_pair_fallback` — the measured-best route
+    for DISTINCT-buffer pairs (r5: fused XLA 407 vs kernel 385 GB/s at
+    8192^2). Jitted so eager use compiles the whole expression as one
+    program (op-by-op eager compilation skips FMA contraction and drifts a
+    ulp from the jitted spelling); under an enclosing jit it inlines."""
+    return _pair_fallback(a, c, alpha, beta, scale_mode, scale, plain_first)
+
+
 def pair_axpby(
     a: jax.Array,
     c: jax.Array = None,

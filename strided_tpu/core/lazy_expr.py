@@ -124,15 +124,21 @@ class StridedExpr:
     def evaluate(self) -> StridedView:
         """Collapse into one fused kernel; returns a dense StridedView.
 
-        Structured patterns are recognized first: the transpose-pair family
-        ``alpha*A + beta*C.T`` in all its spellings — ``(v + v.T)/2``
-        (symmetrize), ``v - v.T``, ``3*v + 2*v.T`` (axpby-transpose,
-        `/root/reference/src/linalg.jl:39-42`), distinct-buffer ``v + w.T``
-        — dispatches to the tile-pair kernel (~326 vs ~265 GB/s for the
-        generic three-pass engine at 8192²/f32,
-        benchmarks/results_tpu_r3.json): same-buffer pairs read A once
-        (two HBM passes), distinct pairs replace transposed HBM reads with
-        in-VMEM transposes. Everything else takes the generic fused path."""
+        Structured patterns are recognized first — the transpose-pair family
+        ``alpha*A + beta*C.T`` in all its spellings — and each sub-family
+        goes to its MEASURED-best path (r5 collapse-proof crossover,
+        benchmarks/results_tpu_r5.json pair_crossover_rotation):
+
+        - same-buffer pairs (``(v + v.T)/2``, ``v - v.T``, ``3*v + 2*v.T``,
+          `/root/reference/src/linalg.jl:39-42`) ≥ the measured 2048² gate
+          → the two-pass tile-pair kernel (328 vs 274 GB/s at 8192², 592
+          vs 282 at 4000²);
+        - distinct-buffer pairs (``v + w.T``) → the fused XLA expression
+          (407 vs the kernel's 385 at 8192², 3-pass model);
+        - single transposed terms (``3 * v.T``) → generic/XLA (the
+          standalone transpose emitter wins or ties everywhere).
+
+        Everything else takes the generic fused path."""
         from .broadcast import sbroadcast
 
         res = try_pattern_expr(self)
@@ -347,20 +353,43 @@ def try_pattern_expr(expr: "StridedExpr"):
     if C is not None and C.dtype != A.dtype:
         return None  # mixed dtypes promote in the generic path; kernel can't
 
-    from .kernels_special import pair_kernel_tile, pair_axpby
+    from .kernels_special import pair_kernel_tile, pair_axpby, pair_fallback_call
+
+    global LAST_EXPR_DISPATCH
+    if C is not None:
+        # Distinct-buffer pairs (A + B.T): measured r5 with the
+        # collapse-proof two-operand chain harness
+        # (results_tpu_r5.json pair_crossover_rotation xla/kernel_distinct):
+        # XLA's fused expression wins — 407 vs 385 GB/s at 8192^2, 426 vs
+        # 419 at 4096^2 (3-pass model). Only ONE of the three passes is a
+        # transposed read, so XLA's fused loop beats the kernel's 6-DMA
+        # pair schedule. Route to the identical-structure fused XLA
+        # expression directly (bit-exact with both other paths).
+        LAST_EXPR_DISPATCH = "xla-pair"
+        import logging
+
+        logging.getLogger("strided_tpu.dispatch").debug(
+            "evaluate: %g*A + %g*C.T (distinct buffers) -> fused XLA "
+            "(measured-best, r5)", alpha, beta,
+        )
+        return strided(
+            pair_fallback_call(
+                A, C, alpha=alpha, beta=beta, scale_mode=scale_mode,
+                scale=scale, plain_first=plain_first,
+            )
+        )
 
     n = A.shape[0]
-    tile = pair_kernel_tile(n, n, A.dtype, distinct=C is not None)
+    tile = pair_kernel_tile(n, n, A.dtype)
     if tile is None:
         return None
 
-    global LAST_EXPR_DISPATCH
     LAST_EXPR_DISPATCH = "pair-kernel"
     import logging
 
     logging.getLogger("strided_tpu.dispatch").debug(
-        "evaluate: %g*A + %g*%s.T (%s %g) -> tile-pair kernel (n=%d, tile=%d)",
-        alpha, beta, "C" if C is not None else "A",
+        "evaluate: %g*A + %g*A.T (%s %g) -> tile-pair kernel (n=%d, tile=%d)",
+        alpha, beta,
         scale_mode, scale, n, tile,
     )
     return strided(

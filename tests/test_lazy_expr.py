@@ -211,6 +211,9 @@ def test_pair_pattern_dispatches_and_is_correct(build, oracle):
     ],
 )
 def test_pair_pattern_distinct_buffers(build, oracle):
+    """Distinct-buffer pairs route to the FUSED XLA expression (r5 measured:
+    407 vs the kernel's 385 GB/s at 8192^2 — only one of three passes is a
+    transposed read, results_tpu_r5.json pair_crossover_rotation)."""
     from strided_tpu.config import set_config, get_config
 
     old = get_config()
@@ -221,7 +224,7 @@ def test_pair_pattern_distinct_buffers(build, oracle):
         e = build(v, w)
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(e)
-        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        assert le.LAST_EXPR_DISPATCH == "xla-pair"
         an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
         np.testing.assert_allclose(got, oracle(an, bn), rtol=1e-5, atol=1e-5)
     finally:
@@ -296,8 +299,8 @@ def test_pair_pattern_in_place_routes():
 def test_pair_pattern_eager_double_wrap():
     """Pins the documented eager-use caveat: two separate strided() wraps of
     the same array have different parent objects, so the SAME-buffer 2-pass
-    match misses — but the expression still dispatches as a distinct-buffer
-    pair and stays correct."""
+    match misses — but the expression still matches as a distinct-buffer
+    pair (routed to fused XLA since r5) and stays correct."""
     from strided_tpu.config import set_config, get_config
 
     old = get_config()
@@ -312,7 +315,7 @@ def test_pair_pattern_eager_double_wrap():
         assert C is not None  # distinct-buffer match, not the 2-pass one
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(e)
-        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        assert le.LAST_EXPR_DISPATCH == "xla-pair"
         an = np.asarray(a, np.float64)
         np.testing.assert_allclose(got, an + an.T, rtol=1e-6)
     finally:

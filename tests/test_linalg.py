@@ -324,16 +324,17 @@ def test_linalg_pair_kernel_routes():
         b = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
         v = st.strided(a)
 
+        # distinct buffers -> the measured-best fused-XLA pair route (r5)
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(st.to_array(axpby(3.0, st.transpose(v), 2.0, st.strided(b))))
-        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        assert le.LAST_EXPR_DISPATCH == "xla-pair"
         np.testing.assert_array_equal(
             got, np.asarray(jax.jit(lambda x, y: 3.0 * x.T + 2.0 * y)(a, b))
         )
 
         le.LAST_EXPR_DISPATCH = ""
         got = np.asarray(st.to_array(axpy(3.0, st.transpose(v), st.strided(b))))
-        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        assert le.LAST_EXPR_DISPATCH == "xla-pair"
         np.testing.assert_array_equal(
             got, np.asarray(jax.jit(lambda x, y: 3.0 * x.T + y)(a, b))
         )
