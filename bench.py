@@ -337,7 +337,9 @@ def bench_bf16_mfu(d=4096):
         return (jnp.matmul(x, x, precision=lax.Precision.DEFAULT)
                 * (1.0 / 64.0)).astype(jnp.bfloat16)
 
-    sec = time_slope(f, x, k1=8, k2=40)
+    # long loops per the CLAUDE.md small-size rule: ~0.8 ms/step at 4096^2
+    # sits in the band where k2=40 slopes carry multi-percent tunnel jitter
+    sec = time_slope(f, x, k1=32, k2=160)
     return 2 * d**3 / sec / 1e12  # TFLOP/s
 
 

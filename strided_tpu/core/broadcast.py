@@ -37,7 +37,15 @@ __all__ = ["sbroadcast", "sbroadcast_into", "broadcast_views", "StridedExpr"]
 
 
 def _broadcast_shape(*shapes):
-    return jnp.broadcast_shapes(*shapes)
+    try:
+        return jnp.broadcast_shapes(*shapes)
+    except ValueError as e:
+        # the engine's documented error type for layout/shape violations
+        # (mirrors the reference's eager DimensionMismatch throws,
+        # `/root/reference/src/broadcast.jl:61`)
+        raise StridedLayoutError(
+            f"operand shapes are not broadcast-compatible: {shapes}"
+        ) from e
 
 
 def broadcast_views(shape, views):

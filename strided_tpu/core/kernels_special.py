@@ -128,12 +128,13 @@ def _pair_term(a, ct, alpha: float, beta: float, plain_first: bool = True):
     contract one of the two multiplies into an FMA and chooses by operand
     order, so ``alpha*A + beta*C.T`` and ``beta*C.T + alpha*A`` can differ
     in the last ulp — the kernel must add in the same order as the generic
-    closure it is bit-exact against. ONE definition shared by the kernel,
-    the fallback, and the strip combine."""
+    closure it is bit-exact against. A ``beta == 0.0`` in a TWO-term source
+    must still compute ``0 * ct`` (inf/NaN semantics — `0*inf = NaN`), so
+    only ``alpha == 0.0`` (the marker for a source with no plain term at
+    all) drops anything. ONE definition shared by the kernel, the
+    fallback, and the strip combine."""
     if alpha == 0.0:
         return _apply_coeff(ct, beta)
-    if beta == 0.0:
-        return _apply_coeff(a, alpha)
     ta, tb = _apply_coeff(a, alpha), _apply_coeff(ct, beta)
     return ta + tb if plain_first else tb + ta
 
@@ -264,7 +265,7 @@ def _make_pair_kernel(
         else:
             c1, c2 = a1, a2
         S1 = epilogue(_pair_term(a1, c2.T, alpha, beta, plain_first))
-        if not distinct and alpha == beta:
+        if not distinct and alpha == beta and alpha != 0.0:
             # symmetric case: S2 = alpha*a2 + beta*a1.T = S1.T exactly (the
             # epilogue commutes with transpose) — halves the VPU work so the
             # compute stays hidden under the DMAs (r3's kernel shape).

@@ -162,11 +162,14 @@ class StridedExpr:
     # `/root/reference/test/othertests.jl:109-128`) --------------------------
 
 
-# Observability for tests/benchmarks: which path the last evaluate() took
-# ("pair-kernel" or "generic"). Trace-time global, same caveats as
-# executor_pallas.LAST_PLAN. Only set to "pair-kernel" AFTER the shared
-# eligibility predicate (kernels_special.pair_kernel_tile) has confirmed the
-# kernel will actually run (ADVICE r3 item 1).
+# Observability for tests/benchmarks: which path the last evaluate() took —
+# "pair-kernel" (same-buffer two-term family through the tile-pair kernel),
+# "xla-pair" (distinct-buffer pair through the jitted fused-XLA expression,
+# the r5 measured-best route), or "generic" (the fused engine). Trace-time
+# global, same caveats as executor_pallas.LAST_PLAN. Only set to
+# "pair-kernel" AFTER the shared eligibility predicate
+# (kernels_special.pair_kernel_tile) has confirmed the kernel will actually
+# run (ADVICE r3 item 1).
 LAST_EXPR_DISPATCH: str = ""
 
 
@@ -462,6 +465,13 @@ def _install_operators(cls):
         setattr(cls, f"__{name}__", _expr_binop(fn)[0])
     cls.__neg__ = lambda self: StridedExpr(jnp.negative, (self,))
     cls.__abs__ = lambda self: StridedExpr(jnp.abs, (self,))
+    # Opt OUT of numpy's ufunc protocol: without this, `np.float64(3) * v`
+    # dispatches to np.multiply, which silently MATERIALIZES the view
+    # host-side through __array__ (a full device->host fetch) instead of
+    # building a lazy expression. None makes numpy return NotImplemented so
+    # Python falls back to our __rmul__ (code-review r5 finding). Explicit
+    # np.asarray(view) still works through __array__.
+    cls.__array_ufunc__ = None
 
 
 def _install_reductions(cls):
@@ -470,13 +480,13 @@ def _install_reductions(cls):
     (VERDICT r4 item 9), each collapsing through the existing fused
     reducers in ONE map+reduce pass."""
 
-    def _method(reducer_name):
+    def _method(name, reducer_name):
         def method(self, axis=None):
             from . import mapreduce
 
             return getattr(mapreduce, reducer_name)(self, axis)
 
-        method.__name__ = reducer_name.lstrip("s")
+        method.__name__ = name
         method.__doc__ = (
             f"Fused ``{reducer_name}`` over this lazy view/expression "
             f"(one map+reduce pass; see ``core.mapreduce.{reducer_name}``)."
@@ -490,7 +500,7 @@ def _install_reductions(cls):
         ("min", "smin"),
         ("mean", "smean"),
     ]:
-        setattr(cls, name, _method(reducer))
+        setattr(cls, name, _method(name, reducer))
 
     def __matmul__(self, other):
         from ..linalg import matmul

@@ -65,31 +65,45 @@ def _as_view(x):
 
 
 def _pair_route(out, alpha, x, beta=None, y=None):
-    """Route the reference's *linalg* spellings into the structured pattern
-    dispatch (VERDICT r4 item 2): ``axpby!(alpha, A', beta, B)``
-    (`/root/reference/src/linalg.jl:39-42`) and ``mul!(B, alpha, A')``
-    (`:22-31`) are the same transpose-pair workload as the expression
-    spelling ``alpha*A.T + beta*B``, so when the non-output operand is a
-    lazy-transposed square view they must hit the same tile-pair kernel.
+    """Route the reference's ``axpy!``/``axpby!`` spellings into the
+    structured pattern dispatch (VERDICT r4 item 2):
+    ``axpby!(alpha, A', beta, B)`` (`/root/reference/src/linalg.jl:39-42`)
+    is the same transpose-pair workload as the expression spelling
+    ``alpha*A.T + beta*B``, so it takes the same measured-best route
+    (same-buffer pair -> tile-pair kernel; distinct buffers -> fused XLA;
+    see ``lazy_expr.try_pattern_expr``).
 
-    Builds the equivalent :class:`StridedExpr` and runs the in-place
-    pattern route; returns the updated view or None (callers fall back to
-    the generic fused broadcast — behavior unchanged for every non-matching
-    shape/layout/scalar)."""
+    Builds the equivalent :class:`StridedExpr` explicitly (NOT via the
+    ``*`` operator: a numpy scalar on the left would hand the view to the
+    numpy ufunc machinery, which materializes it host-side through
+    ``__array__``) and runs the in-place pattern route; returns the
+    updated view or None (callers fall back to the generic fused
+    broadcast — behavior unchanged for every non-matching
+    shape/layout/scalar, including the error type raised)."""
+    import numbers
+
+    import jax.numpy as _jnp
+
     from .core.lazy_expr import StridedExpr, identity_f, try_pattern_into
 
     if not isinstance(x, StridedView) or isinstance(alpha, bool):
         return None
-    if not isinstance(alpha, (int, float)):
+    if not isinstance(alpha, numbers.Real):
         return None
-    expr = alpha * x  # StridedExpr via the lazy operator overloads
-    if y is not None:
-        if isinstance(beta, bool) or not isinstance(beta, (int, float)):
-            return None
-        expr = expr + beta * y
-    if not isinstance(expr, StridedExpr):
+    try:
+        expr = StridedExpr(_jnp.multiply, (float(alpha), x))
+        if y is not None:
+            if isinstance(beta, bool) or not isinstance(beta, numbers.Real):
+                return None
+            expr = StridedExpr(
+                _jnp.add,
+                (expr, StridedExpr(_jnp.multiply, (float(beta), y))),
+            )
+        return try_pattern_into(out, identity_f, (expr,))
+    except Exception:
+        # any shape/layout incompatibility falls back to the generic path,
+        # which raises the documented StridedLayoutError itself
         return None
-    return try_pattern_into(out, identity_f, (expr,))
 
 
 # ---------------------------------------------------------------------------
@@ -119,13 +133,12 @@ def lmul(alpha, v) -> StridedView:
 
 def scale_into(dst, alpha, src) -> StridedView:
     """``dst .= alpha .* src`` — ``mul!(dst, alpha, src)``
-    (`/root/reference/src/linalg.jl:22-31`). A lazy-transposed square
-    ``src`` routes through the tile-pair kernel (``B .= 3 .* A'``, the
-    reference's README row 2)."""
+    (`/root/reference/src/linalg.jl:22-31`). A lazy-transposed ``src``
+    (``B .= 3 .* A'``, the reference's README row 2) deliberately stays on
+    the generic/XLA path: the r5 crossover measured XLA's standalone
+    transpose emitter winning or tying the pair kernel at every size for
+    pure scaled transposes (DESIGN.md r5 study)."""
     dst = _as_view(dst)
-    hit = _pair_route(dst, alpha, src if isinstance(src, StridedView) else None)
-    if hit is not None:
-        return hit
     if _is_static_one(alpha):
         return sbroadcast_into(dst, lambda x: x, _as_view(src))
     return sbroadcast_into(dst, lambda x: alpha * x, _as_view(src))

@@ -605,3 +605,125 @@ def test_matmul_operator():
     np.testing.assert_allclose(
         np.asarray(st.to_array(v @ b)), an @ bn, rtol=1e-4, atol=1e-4
     )
+
+
+def test_pair_dispatch_routes_fuzz():
+    """Route-matrix fuzz (r5): random spellings across the three measured
+    dispatch routes — same-buffer two-term -> pair-kernel, distinct two-term
+    -> xla-pair, single transposed term / plain -> generic — each compared
+    against its dispatch-off evaluation on the SAME expression builder.
+    Pins that (a) the route taken matches the policy, (b) values agree
+    across dispatch on/off for every spelling."""
+    import random
+
+    from strided_tpu.config import set_config, get_config
+
+    rnd = random.Random(55)
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024,
+                   use_pallas=True)
+        for trial in range(12):
+            n = rnd.choice([137, 200, 256, 300])
+            c1 = rnd.choice([1.0, -1.0, 2.5, 3.0])
+            c2 = rnd.choice([1.0, -1.0, 0.5, 2.0])
+            ep = rnd.choice([None, ("mul", 0.5), ("div", 4.0)])
+            kind = rnd.choice(["same", "distinct", "single", "plain"])
+            a = jnp.asarray(
+                np.random.default_rng(trial).standard_normal((n, n)),
+                jnp.float32,
+            )
+            b = jnp.asarray(
+                np.random.default_rng(100 + trial).standard_normal((n, n)),
+                jnp.float32,
+            )
+
+            def build():
+                v = st.strided(a)
+                w = st.strided(b)
+                if kind == "same":
+                    e = c1 * v + c2 * st.transpose(v)
+                elif kind == "distinct":
+                    e = c1 * v + c2 * st.transpose(w)
+                elif kind == "single":
+                    e = c1 * st.transpose(v)
+                else:
+                    e = c1 * v
+                if ep is not None:
+                    e = e * ep[1] if ep[0] == "mul" else e / ep[1]
+                return e
+
+            le.LAST_EXPR_DISPATCH = ""
+            got = np.asarray(build().materialize())
+            route = le.LAST_EXPR_DISPATCH
+            want_route = {
+                "same": "pair-kernel",
+                "distinct": "xla-pair",
+                "single": "generic",
+                "plain": "generic",
+            }[kind]
+            assert route == want_route, (trial, kind, n, route)
+            set_config(expr_pattern_dispatch=False)
+            try:
+                ref = np.asarray(build().materialize())
+            finally:
+                set_config(expr_pattern_dispatch=True)
+            np.testing.assert_allclose(got, ref, rtol=3e-7, atol=3e-6,
+                                       err_msg=f"{trial} {kind} {n}")
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_numpy_scalar_left_multiply_stays_lazy():
+    """`np.float64(3) * v` must build a lazy expression, NOT hand the view
+    to numpy's ufunc machinery (which would materialize it host-side via
+    __array__ — a full device->host fetch). Pinned by __array_ufunc__=None
+    (code-review r5)."""
+    v = st.strided(jnp.ones((8, 8), jnp.float32))
+    e = np.float64(3.0) * v
+    assert isinstance(e, StridedExpr)
+    e2 = np.float32(2.0) + st.transpose(v)
+    assert isinstance(e2, StridedExpr)
+    # explicit conversion still works
+    np.testing.assert_allclose(np.asarray(v), np.ones((8, 8)))
+
+
+def test_pair_kernel_zero_beta_keeps_inf_nan_semantics():
+    """`2*v + 0*v.T` must compute 0*inf = NaN exactly like the generic
+    path — a zero coefficient in a TWO-term source never drops the term
+    (code-review r5: the beta==0 shortcut broke this)."""
+    from strided_tpu.config import set_config, get_config
+
+    old = get_config()
+    try:
+        set_config(min_pallas_elements=1024, pair_kernel_min_elements=1024,
+                   use_pallas=True)
+        a = np.random.default_rng(0).standard_normal((256, 256)).astype(np.float32)
+        a[3, 7] = np.inf
+        aj = jnp.asarray(a)
+        v = st.strided(aj)
+        le.LAST_EXPR_DISPATCH = ""
+        got = np.asarray((2.0 * v + 0.0 * st.transpose(v)).materialize())
+        assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+        want = np.asarray(jax.jit(lambda x: 2.0 * x + 0.0 * x.T)(aj))
+        # [7, 3] reads the transpose of the inf -> 0*inf = NaN on both paths
+        assert np.isnan(got[7, 3]) and np.isnan(want[7, 3])
+        np.testing.assert_array_equal(got, want)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
+
+
+def test_reduction_method_names():
+    assert StridedExpr.sum.__name__ == "sum"
+    assert st.StridedView.mean.__name__ == "mean"
+
+
+def test_axpy_shape_mismatch_raises_layout_error():
+    """Broadcast-incompatible axpy operands keep raising StridedLayoutError
+    (the pair route must not leak a bare ValueError from expr building)."""
+    from strided_tpu.core.view import StridedLayoutError
+
+    a = st.strided(jnp.ones((3, 4), jnp.float32))
+    b = st.strided(jnp.ones((5, 6), jnp.float32))
+    with pytest.raises(StridedLayoutError):
+        st.axpy(2.0, st.transpose(a), b)
