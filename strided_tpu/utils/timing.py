@@ -25,6 +25,7 @@ __all__ = [
     "time_looped",
     "time_slope",
     "time_slope_checked",
+    "time_interleaved",
     "bandwidth_gbs",
 ]
 
@@ -137,6 +138,52 @@ def time_slope(fn: Callable, x, k1: int = 8, k2: int = 40, repeats: int = 3):
         return best
 
     return (total(k2) - total(k1)) / (k2 - k1)
+
+
+def time_interleaved(
+    fn: Callable,
+    arrs,
+    k1: int = 32,
+    k2: int = 160,
+    repeats: int = 3,
+):
+    """Collapse-proof per-workload seconds via **m interleaved chains** —
+    the r5 harness that settled the pair-kernel crossover
+    (benchmarks/exp_crossover_r5.py, DESIGN.md r5 study).
+
+    ``arrs`` is a list of m same-shaped arrays; each ``fori_loop``
+    iteration advances EVERY chain once, slot-stable
+    (``(x0..x_{m-1}) -> (f(x0)..f(x_{m-1}))`` with barriers). Choose m so
+    the live set ``2*m*nbytes`` exceeds ~400 MB: chained single-buffer
+    workloads under ~300 MB run on-chip-resident in XLA (7.9 TB/s
+    artifacts), and ROTATING the carry instead makes XLA shuffle-copy it
+    (~220 GB/s floor). Returns slope seconds per single ``fn``
+    application. Litmus: ``fn = x + 1`` should measure stream-class
+    (~650 GB/s on v5e), never multiples of HBM spec."""
+    from jax import lax
+
+    m = len(arrs)
+    step1 = _opaque_step(fn)
+
+    def step(state):
+        return tuple(step1(x) for x in state)
+
+    def total(k):
+        @jax.jit
+        def loop(state):
+            return lax.fori_loop(0, k, lambda i, s: step(s), state)
+
+        y = loop(tuple(arrs))
+        _drain(y)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            y = loop(tuple(arrs))
+            _drain(y)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (total(k2) - total(k1)) / (k2 - k1) / m
 
 
 def time_slope_checked(

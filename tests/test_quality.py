@@ -159,3 +159,13 @@ def test_adoption_densifies_small_window_over_huge_base():
     w = st.strided(m)
     assert w.strides == (1, 48)
     np.testing.assert_array_equal(np.asarray(st.to_array(w)), m)
+
+
+def test_time_interleaved_harness():
+    """The r5 collapse-proof interleaved-chain harness is a library utility:
+    m chains advanced in place, slope per single application."""
+    from strided_tpu.utils import time_interleaved
+
+    arrs = [jnp.ones((32, 32)) * i for i in range(3)]
+    sec = time_interleaved(lambda x: x + 1.0, arrs, k1=2, k2=6, repeats=1)
+    assert np.isfinite(sec)
