@@ -62,9 +62,12 @@ class Config:
     # beats XLA's fused codegen in the HBM-bound regime: measured r4,
     # scale-transpose 8192^2 (67M elems) Pallas 339 vs XLA 299, but 64^4
     # (16.7M) XLA 166 vs Pallas 159-162 and 32^4 XLA ~520 vs Pallas ~90-185
-    # (on-chip-resident regime, DESIGN.md r4 study). Maps below this many
-    # iteration elements stay on XLA; the pair/stream kernels keep their
-    # own gates.
+    # (on-chip-resident regime, DESIGN.md r4 study). Re-audited r5 with the
+    # collapse-proof interleaved-chain harness (results_tpu_r5.json
+    # map_gate_audit): tiles 333/335 vs XLA 328/332 at 6144^2/8192^2 — the
+    # tile edge survives the honest measurement, the gate stands. Maps
+    # below this many iteration elements stay on XLA; the pair/stream
+    # kernels keep their own gates.
     pallas_map_min_elements: int = _env_int("PALLAS_MAP_MIN_ELEMENTS", 1 << 25)
     use_pallas: bool = _env_bool("USE_PALLAS", True)
     use_mxu: bool = _env_bool("USE_MXU", True)
