@@ -2,9 +2,14 @@
 
 :func:`pair_axpby` computes ``B = epilogue(alpha*A + beta*C^T)`` — the
 reference's flagship benchmark family: ``B .= (A .+ A')./2`` (symmetrize,
-`/root/reference/README.md:69-73`), ``B .= 3 .* A'`` / ``axpby!``-transpose
-(`/root/reference/src/linalg.jl:39-42`, README row 2), antisymmetrize
-``A - A'``, and distinct-buffer ``A + B'``.
+`/root/reference/README.md:69-73`), ``axpby!``-transpose
+(`/root/reference/src/linalg.jl:39-42`), antisymmetrize ``A - A'``, and
+(direct calls only) the single-term ``3 .* A'`` and distinct-buffer
+``A + B'`` variants. The expression-layer DISPATCH sends only the
+same-buffer two-term family here (>= the measured 2048^2 gate): the r5
+collapse-proof crossover showed XLA winning the single-term family at
+every size and the distinct-buffer family by ~5% (see
+``lazy_expr.try_pattern_expr`` and DESIGN.md's r5 study).
 
 Why a dedicated kernel: the naive lowering (XLA's, and the generic engine's)
 reads ``A`` (and ``C``) through a *transposed* HBM access pattern, which on

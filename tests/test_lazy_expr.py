@@ -727,3 +727,30 @@ def test_axpy_shape_mismatch_raises_layout_error():
     b = st.strided(jnp.ones((5, 6), jnp.float32))
     with pytest.raises(StridedLayoutError):
         st.axpy(2.0, st.transpose(a), b)
+
+
+def test_production_gate_boundary():
+    """The PRODUCTION pair-kernel gate (2048^2, set from the r5 measured
+    crossover — config.pair_kernel_min_elements) is exercised directly:
+    2048^2 dispatches to the kernel, 1024^2 stays generic (XLA measured
+    681 vs the kernel's 494 GB/s there)."""
+    import os
+
+    from strided_tpu.config import get_config
+
+    if os.environ.get("STRIDED_TPU_TEST_PROFILE", "default") != "default":
+        pytest.skip("production-gate values apply in the default profile only")
+    assert get_config().pair_kernel_min_elements == 1 << 22
+    a, v = _sym_input(2048, seed=77)
+    le.LAST_EXPR_DISPATCH = ""
+    got = ((v + st.transpose(v)) / 2).evaluate()
+    assert le.LAST_EXPR_DISPATCH == "pair-kernel"
+    an = np.asarray(a, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(got.parent).reshape(2048, 2048), (an + an.T) / 2,
+        rtol=1e-6, atol=1e-6,
+    )
+    b, w = _sym_input(1024, seed=78)
+    le.LAST_EXPR_DISPATCH = ""
+    got = ((w + st.transpose(w)) / 2).evaluate()
+    assert le.LAST_EXPR_DISPATCH == "generic"
