@@ -9,8 +9,12 @@ horizon-50, box-constrained quadrotor MPC => 1250 solves/s/chip.
 
 The JSON line is GATED (VERDICT r2 items 1/6): before printing, the script
 asserts (a) the ON-DEVICE accuracy of the exact headline configuration
-(ADMM-20 f32 first applied input within 1e-4 of a converged f64 oracle — the
-same bound tests/test_mpc.py pins on CPU) and (b) Mosaic-COMPILED Pallas
+(ADMM-16 f32: first applied input within 1e-4 of a converged f64 oracle AND
+horizon plan within 0.15 — the same bounds tests/test_mpc.py pins on CPU;
+16 iterations runs the solver AT its accuracy target, not past it: the
+first-input dev saturates at the f32 floor 2.36e-5 for every k >= 14 and
+the plan gate binds at k=16, results_tpu_r5.json admm_iteration_frontier)
+and (b) Mosaic-COMPILED Pallas
 kernels agree with the XLA path on a scrambled-layout map, an initop
 reduction, and the symmetrize kernel. A failed gate raises — no JSON.
 
@@ -40,7 +44,7 @@ PER_CHIP_TARGET = 10_000 / 8  # BASELINE.md: 10k solves/s on v5e-8
 from strided_tpu.utils.timing import time_fn, time_chained, time_slope  # noqa: E402
 
 
-def bench_mpc_solves(batch=16384, horizon=50, admm_iters=20):
+def bench_mpc_solves(batch=16384, horizon=50, admm_iters=16):
     # batch 16384 sits at the measured throughput knee (r3 sweep,
     # results_tpu_r3.json): 4096->12.6M, 16384->11.6-12.1M, 32768->9.4-9.7M,
     # 65536->7.9M solves/s — beyond ~16K the B x (N*m) ADMM iterates go
@@ -142,11 +146,15 @@ def bench_symmetrize_flagship_size(n=4000):
     return nbytes / sec / 1e9
 
 
-def bench_mpc_accuracy(batch=64, horizon=50, admm_iters=20):
+def bench_mpc_accuracy(batch=64, horizon=50, admm_iters=16):
     """Accuracy of the EXACT bench configuration (ADMM-``admm_iters``, f32,
     rho=1) against a converged f64 numpy ADMM oracle on the same QP — the
     tolerance attached to the solves/s headline. Pinned by
-    ``tests/test_mpc.py::test_bench_config_accuracy``.
+    ``tests/test_mpc.py::test_bench_config_accuracy``. The default 16
+    iterations is the measured accuracy frontier (r5,
+    results_tpu_r5.json admm_iteration_frontier): first-input dev is at
+    the f32 floor for every k >= 14, the plan gate (0.15) passes at 16
+    with 16% margin and fails at 14.
 
     Returns ``(max_abs_dev, u_scale)``: worst |U_20 - U*| over the horizon
     plan and the input magnitude scale for context."""
@@ -371,7 +379,7 @@ def main():
     #    a CPU-only test passing while the hardware ran at bf16 precision.
     dev1, devp, uscale = bench_mpc_accuracy()
     print(
-        f"[bench] accuracy at the operating point (ADMM-20 f32 vs f64 "
+        f"[bench] accuracy at the operating point (ADMM-16 f32 vs f64 "
         f"converged oracle, input scale {uscale:.2f}): first applied "
         f"input max|du| = {dev1:.1e}; full horizon plan max|dU| = "
         f"{devp:.1e} (gate: first <= 1e-4, plan <= 0.15)",
@@ -386,7 +394,7 @@ def main():
     # ---- headline ----
     solves, sec = bench_mpc_solves()
     print(
-        f"[bench] quadrotor MPC (N=50, ADMM20, batch 16384): "
+        f"[bench] quadrotor MPC (N=50, ADMM16, batch 16384): "
         f"{solves:,.0f} solves/s ({sec*1e3:.2f} ms/batch)",
         file=sys.stderr,
     )
@@ -448,7 +456,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "quadrotor MPC solves/s/chip (12-state, N=50, condensed QP, ADMM-20)",
+                "metric": "quadrotor MPC solves/s/chip (12-state, N=50, condensed QP, ADMM-16 at the measured accuracy frontier)",
                 "value": round(solves, 1),
                 "unit": "solves/s/chip",
                 "vs_baseline": round(solves / PER_CHIP_TARGET, 3),
