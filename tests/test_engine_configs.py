@@ -36,6 +36,7 @@ def engine(request):
     cfg.set_config(
         use_pallas=old.use_pallas,
         min_pallas_elements=old.min_pallas_elements,
+        pair_kernel_min_elements=old.pair_kernel_min_elements,
         pallas_map_min_elements=old.pallas_map_min_elements,
         pallas_reductions=old.pallas_reductions,
         pallas_aligned_maps=old.pallas_aligned_maps,

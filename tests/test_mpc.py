@@ -201,14 +201,14 @@ def test_riccati_full_horizon_matches_qp_plan():
 
 
 def test_bench_config_accuracy():
-    """Pin the accuracy of the EXACT headline-bench configuration (ADMM-16,
-    rho=1, f32, quadrotor N=50) against a converged f64 numpy ADMM oracle on
-    the same QP (VERDICT r1 item 4): the solves/s number carries this
-    tolerance statement. The applied (first-stage) input sits at the f32
-    rounding floor for every k >= 14 (measured frontier,
-    benchmarks/results_tpu_r5.json admm_iteration_frontier); the horizon
-    plan is truncation-limited and binds the gate at 16 iterations
-    (dev 0.126 < 0.15; 14 iterations fails at 0.159)."""
+    """Pin the accuracy of the EXACT headline-bench configuration (ADMM-6,
+    rho=8, f32, quadrotor N=50) against a converged f64 numpy ADMM oracle
+    on the same QP (VERDICT r1 item 4): the solves/s number carries this
+    tolerance statement. The (rho, iters) point is the measured r5
+    frontier (benchmarks/results_tpu_r5.json admm_operating_point):
+    first-input dev at the f32 floor (1.6e-5), plan dev 0.045 (3.4x
+    inside the 0.15 gate), closed-loop regulation identical to
+    rho=1/k=20."""
     import os
     import sys
 
@@ -217,9 +217,9 @@ def test_bench_config_accuracy():
 
     dev_first, dev_plan, uscale = bench.bench_mpc_accuracy(batch=64)
     assert uscale > 1.0  # inputs are O(1)-scale: the bounds below are tight
-    # measured 2.4e-5 on TPU (f32 rounding floor; f64 ADMM reaches 3.8e-8)
+    # measured 1.6e-5 on TPU (f32 rounding floor; f64 ADMM reaches 3.8e-8)
     assert dev_first < 1e-4, f"first applied input off by {dev_first:.2e}"
-    # measured 1.26e-1 at ADMM-16 (truncation on far-horizon stages)
+    # measured 4.5e-2 at (rho=8, k=6) — 3.4x inside the gate
     assert dev_plan < 0.15, f"horizon plan off by {dev_plan:.2e}"
 
 
