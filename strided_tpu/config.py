@@ -116,6 +116,13 @@ class Config:
     min_stream_reduce_elements: int = _env_int(
         "MIN_STREAM_REDUCE_ELEMENTS", 1 << 24
     )
+    # Fused-ADMM Pallas kernel for the condensed-QP solver (mpc/qp.py):
+    # all iterations in one kernel with VMEM-resident iterates. The XLA
+    # scan round-trips the (B, N*m) z/y iterates through HBM every
+    # iteration (~52 MB/iter at batch 16384) — the bottleneck once the r5
+    # operating point dropped to 6 iterations. Identical math at HIGHEST
+    # matmul precision; measured r5 (results_tpu_r5.json fused_admm).
+    fused_admm: bool = _env_bool("FUSED_ADMM", True)
     # Route order-aligned (no in-VMEM transpose needed) pure maps through
     # Pallas tiles. Default OFF: measured on v5e, XLA's fused elementwise
     # codegen wins on aligned layouts (compute-bound broadcast 8192^2:

@@ -145,6 +145,90 @@ def _chol_solve(L, b):
     return z.T.reshape(bshape)
 
 
+def _admm_kernel_tile(B: int) -> Optional[int]:
+    """Batch-tile size for the fused-ADMM Pallas kernel, or None when the
+    kernel cannot run and the XLA scan must be used."""
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if B % t == 0:
+            return t
+    return None
+
+
+def _fused_admm(g, z0, solver, lo, hi, *, rho: float, alpha: float,
+                iters: int):
+    """All ADMM iterations fused in ONE Pallas kernel, iterates resident in
+    VMEM (r5: the XLA scan round-trips z/y through HBM every iteration —
+    ~52 MB/iter at batch 16384 — which became the bottleneck once the
+    operating point dropped to 6 iterations; keeping the (B_t, N*m) iterate
+    tiles in VMEM across all iterations cuts solve traffic ~8x:
+    read g+z0 once, write z once). The per-tile math is IDENTICAL to the
+    scan body, with the matmul at HIGHEST precision (Mosaic lowers f32
+    HIGHEST like XLA — probed r5, 7.6e-6 agreement vs 0.2 for DEFAULT),
+    so the accuracy gate bounds are unchanged. Grid is batch-parallel;
+    each tile runs its own 6-iteration loop on the MXU."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    from ..config import get_config
+
+    B, D = g.shape
+    cfg = get_config()
+    Bt = _admm_kernel_tile(B)
+    interpret = cfg.interpret or jax.default_backend() != "tpu"
+    lo2 = lo.reshape(1, D)
+    hi2 = hi.reshape(1, D)
+
+    def kernel(g_ref, z0_ref, s_ref, lo_ref, hi_ref, o_ref):
+        g_t = g_ref[...]
+        z = z0_ref[...]
+        y = jnp.zeros_like(z)
+        s = s_ref[...]
+        lo_t = lo_ref[...]
+        hi_t = hi_ref[...]
+        for _ in range(iters):  # static unroll: iterates never leave VMEM
+            u = jnp.dot(rho * (z - y) - g_t, s,
+                        precision=jax.lax.Precision.HIGHEST)
+            u_rel = alpha * u + (1.0 - alpha) * z
+            z = jnp.clip(u_rel + y, lo_t, hi_t)
+            y = y + u_rel - z
+        o_ref[...] = z
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // Bt,),
+        in_specs=[
+            pl.BlockSpec((Bt, D), lambda i: (i, 0)),
+            pl.BlockSpec((Bt, D), lambda i: (i, 0)),
+            pl.BlockSpec((D, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bt, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D), g.dtype),
+        interpret=interpret,
+    )(g, z0, solver, lo2, hi2)
+
+
+def _fused_admm_eligible(qp: CondensedQP, z, coarse: int) -> bool:
+    from ..config import get_config
+
+    cfg = get_config()
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        cfg.use_pallas
+        and cfg.fused_admm
+        and not qp.use_chol
+        and coarse == 0
+        and z.ndim == 2
+        and str(z.dtype) == "float32"
+        and _admm_kernel_tile(z.shape[0]) is not None
+    )
+
+
 @matmul_precision_scope
 def qp_solve(
     qp: CondensedQP,
@@ -200,6 +284,19 @@ def qp_solve(
         return (z_new, y_new), None
 
     coarse = max(0, min(int(coarse_iters), int(iters)))
+    # Fused-ADMM fast path (r5): all iterations in one Pallas kernel with
+    # VMEM-resident iterates — identical math, ~8x less HBM traffic than
+    # the scan (see _fused_admm). Falls back to the scan for Cholesky mode,
+    # mixed-precision schedules, non-f32, or awkward batch sizes.
+    D = z.shape[-1]
+    g2 = g.reshape(-1, D)
+    z2 = z.reshape(-1, D)
+    if _fused_admm_eligible(qp, z2, coarse):
+        zf = _fused_admm(
+            g2, z2, qp.solver, lo, hi,
+            rho=float(qp.rho), alpha=float(alpha), iters=int(iters),
+        )
+        return zf.reshape(*x0.shape[:-1], qp.N, qp.m)
     if coarse:
         with jax.default_matmul_precision("default"):
             (z, y), _ = lax.scan(body, (z, y), None, length=coarse)

@@ -255,3 +255,58 @@ def test_admm_coarse_iters_knob():
     u0 = np.asarray(make(0).plan(x))
     u6 = np.asarray(make(6).plan(x))
     np.testing.assert_array_equal(u0, u6)
+
+
+def test_fused_admm_kernel_matches_scan():
+    """The fused-ADMM Pallas kernel (r5: all iterations in one kernel,
+    VMEM-resident iterates) computes the SAME solve as the XLA scan —
+    values pinned kernel-vs-scan on the same QP, plus eligibility
+    fallbacks (odd batch, coarse schedule) keep the scan path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strided_tpu.config import set_config, get_config
+    from strided_tpu.models import quadrotor, hover_state, hover_input
+    from strided_tpu.mpc import make_hover_mpc
+    from strided_tpu.mpc.qp import qp_solve, _admm_kernel_tile
+
+    dtype = jnp.float32
+    model = quadrotor()
+    Q = jnp.diag(jnp.array([10, 10, 10, 1, 1, 1, 5, 5, 5, 1, 1, 1], dtype))
+    R = jnp.eye(4, dtype=dtype) * 0.1
+    u_min = jnp.array([-5.0, -0.5, -0.5, -0.5], dtype)
+    u_max = jnp.array([10.0, 0.5, 0.5, 0.5], dtype)
+    ctrl = make_hover_mpc(
+        model, hover_state(dtype), hover_input(dtype=dtype), Q, R, Q,
+        horizon=8, dt=0.02, u_min=u_min, u_max=u_max,
+        admm_iters=6, rho=8.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-0.3, 0.3, (32, 12)), dtype
+    )
+    dx = x - ctrl.x_eq
+    lo = jnp.tile(u_min, ctrl.qp.N)
+    hi = jnp.tile(u_max, ctrl.qp.N)
+    old = get_config()
+    try:
+        set_config(fused_admm=True, use_pallas=True)
+        U_k = np.asarray(qp_solve(ctrl.qp, dx, u_min, u_max, iters=6))
+        set_config(fused_admm=False)
+        U_s = np.asarray(qp_solve(ctrl.qp, dx, u_min, u_max, iters=6))
+        np.testing.assert_allclose(U_k, U_s, rtol=1e-5, atol=1e-5)
+        # bounds respected
+        assert (U_k.reshape(32, -1) <= np.asarray(hi) + 1e-6).all()
+        assert (U_k.reshape(32, -1) >= np.asarray(lo) - 1e-6).all()
+        # odd batch falls back to the scan (no crash, same values)
+        set_config(fused_admm=True)
+        assert _admm_kernel_tile(33) is None
+        U_odd = np.asarray(qp_solve(ctrl.qp, dx[:31], u_min, u_max, iters=6))
+        np.testing.assert_allclose(U_odd, U_s[:31], rtol=1e-5, atol=1e-5)
+        # coarse (mixed-precision) schedules keep the scan path (on CPU the
+        # precision flag is a no-op, so values must match exactly)
+        U_c = np.asarray(
+            qp_solve(ctrl.qp, dx, u_min, u_max, iters=6, coarse_iters=2)
+        )
+        np.testing.assert_allclose(U_c, U_s, rtol=1e-6, atol=1e-6)
+    finally:
+        set_config(**{k: getattr(old, k) for k in old.__dataclass_fields__})
